@@ -1,0 +1,168 @@
+"""Options, enums, result codes, and stats for the smallk-tpu framework.
+
+TPU-native re-design of the reference option structs:
+  - NmfOptions      (reference: common/include/nmf.hpp:55-69)
+  - ClustOptions    (reference: hierclust/include/clust.hpp:37-47)
+  - NmfStats        (reference: common/include/nmf.hpp:43-53)
+  - ClustStats      (reference: hierclust/include/clust.hpp:26-35)
+  - enums           (reference: common/include/nmf.hpp:17-41)
+
+These are frozen dataclasses so they can be used as static (hashable) jit
+arguments; all runtime state lives in arrays, never in options.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class NmfAlgorithm(enum.Enum):
+    """NMF update algorithms (reference: common/include/nmf.hpp:28-34)."""
+
+    MU = "MU"
+    HALS = "HALS"
+    RANK2 = "RANK2"
+    BPP = "BPP"
+
+
+class NmfProgressAlgorithm(enum.Enum):
+    """Convergence metrics (reference: common/include/nmf.hpp:36-41)."""
+
+    PG_RATIO = "PG_RATIO"
+    DELTA_FNORM = "DELTA_FNORM"
+
+
+class Result(enum.IntEnum):
+    """Result codes (reference: common/include/nmf.hpp:17-26)."""
+
+    OK = 0
+    FAILURE = 1
+    BAD_PARAM = 2
+    NOTINITIALIZED = 3
+    INITIALIZE_ERROR = 4
+    SIZE_TOO_LARGE = 5
+
+
+class OutputFormat(enum.Enum):
+    """Clustering result file formats (reference: smallk/include/smallk.hpp)."""
+
+    XML = "XML"
+    JSON = "JSON"
+
+
+# Default values mirror the reference smallk facade defaults
+# (reference: smallk/include/smallk.hpp:102-311).
+DEFAULT_TOL = 0.005
+DEFAULT_HIER_TOL = 1.0e-4
+DEFAULT_MAX_ITER = 5000
+DEFAULT_MIN_ITER = 5
+DEFAULT_TOL_COUNT = 1
+DEFAULT_PRECISION = 6
+DEFAULT_MAX_TERMS = 5
+DEFAULT_UNBALANCED = 0.1
+DEFAULT_TRIAL_ALLOWANCE = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class NmfOptions:
+    """Canonical NMF run configuration.
+
+    Mirrors the reference NmfOptions (common/include/nmf.hpp:55-69) with the
+    same field names and defaults; adds TPU-specific `dtype` (the reference
+    hardwires double, common/src/nmf.cpp:33) and `check_interval` (how often
+    the on-device while-loop evaluates the progress metric; 1 == reference
+    behavior).
+    """
+
+    tol: float = DEFAULT_TOL
+    algorithm: NmfAlgorithm = NmfAlgorithm.BPP
+    prog_est_algorithm: NmfProgressAlgorithm = NmfProgressAlgorithm.PG_RATIO
+    height: int = 0  # m, rows of A
+    width: int = 0  # n, cols of A
+    k: int = 0
+    min_iter: int = DEFAULT_MIN_ITER
+    max_iter: int = DEFAULT_MAX_ITER
+    tolcount: int = DEFAULT_TOL_COUNT
+    max_threads: int = 8  # kept for API parity; maps to nothing on TPU
+    verbose: bool = True
+    normalize: bool = True
+    dtype: str = "float32"
+    check_interval: int = 1
+
+    def validate(self) -> None:
+        """Raise ValueError for invalid combinations.
+
+        Mirrors reference NmfOptions::IsValid (common/src/nmf_options.cpp).
+        """
+        if self.height <= 0 or self.width <= 0:
+            raise ValueError("nmf: matrix dimensions must be positive")
+        if self.k <= 0:
+            raise ValueError("nmf: k must be positive")
+        if self.k > min(self.height, self.width):
+            raise ValueError(
+                "nmf: k must satisfy k <= min(m, n); "
+                f"k={self.k}, m={self.height}, n={self.width}"
+            )
+        if self.algorithm == NmfAlgorithm.RANK2 and self.k != 2:
+            raise ValueError("nmf: RANK2 algorithm requires k == 2")
+        if self.tol <= 0.0 or self.tol >= 1.0:
+            raise ValueError("nmf: tolerance must be in (0, 1)")
+        if self.min_iter < 1:
+            raise ValueError("nmf: min_iter must be >= 1")
+        if self.max_iter < self.min_iter:
+            raise ValueError("nmf: max_iter must be >= min_iter")
+        if self.tolcount < 1:
+            raise ValueError("nmf: tolcount must be >= 1")
+
+
+@dataclasses.dataclass(frozen=True)
+class ClustOptions:
+    """Hierarchical clustering configuration.
+
+    Mirrors reference ClustOptions (hierclust/include/clust.hpp:37-47).
+    """
+
+    nmf_opts: NmfOptions = dataclasses.field(
+        default_factory=lambda: NmfOptions(
+            tol=DEFAULT_HIER_TOL,
+            algorithm=NmfAlgorithm.RANK2,
+            prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO,
+            k=2,
+        )
+    )
+    maxterms: int = DEFAULT_MAX_TERMS
+    unbalanced: float = DEFAULT_UNBALANCED
+    trial_allowance: int = DEFAULT_TRIAL_ALLOWANCE
+    num_clusters: int = 0
+    verbose: bool = True
+    flat: bool = False
+    initdir: Optional[str] = None
+
+    def validate(self) -> None:
+        """Mirrors reference ClustOptions::IsValid (hierclust/src/clust_options.cpp)."""
+        if self.num_clusters < 2:
+            raise ValueError("clust: number of clusters must be >= 2")
+        if self.maxterms < 1:
+            raise ValueError("clust: maxterms must be >= 1")
+        if self.unbalanced < 0.0 or self.unbalanced > 1.0:
+            raise ValueError("clust: unbalanced must be in [0, 1]")
+        if self.trial_allowance < 1:
+            raise ValueError("clust: trial_allowance must be >= 1")
+
+
+@dataclasses.dataclass
+class NmfStats:
+    """Timing/iteration stats (reference: common/include/nmf.hpp:43-53)."""
+
+    elapsed_us: int = 0
+    iteration_count: int = 0
+
+
+@dataclasses.dataclass
+class ClustStats:
+    """Hier clustering stats (reference: hierclust/include/clust.hpp:26-35)."""
+
+    nmf_count: int = 0  # number of rank-2 factorizations performed
+    max_count: int = 0  # factorizations that hit the iteration limit

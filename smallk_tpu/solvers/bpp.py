@@ -1,0 +1,49 @@
+"""ANLS block-principal-pivoting NMF solver (Kim-Park).
+
+Reference: common/include/nmf_solver_bpp.hpp (Solver_Generic_BPP :301-383):
+alternate NnlsBlockpivot(W'W, W'A) -> H and NnlsBlockpivot(HH', HA') -> W',
+warm-starting each NNLS from the previous factors; recompute gradH with the
+updated W after both solves.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops.dense import gemm, gram, gram_t
+from .nnls import nnls_blockpivot
+
+
+class BppState(NamedTuple):
+    Wt: jnp.ndarray   # k x m (warm start for the W-side NNLS)
+    WtW: jnp.ndarray  # k x k
+    WtA: jnp.ndarray  # k x n
+
+
+def init(a_op, W, H) -> BppState:
+    return BppState(Wt=W.T, WtW=gram(W), WtA=a_op.mm_tn(W))
+
+
+def step(a_op, W, H, state: BppState):
+    Wt, WtW, WtA = state
+
+    # H-side: solve (W'W) H = W'A with H >= 0
+    H, gradH, ok_h = nnls_blockpivot(WtW, WtA, H)
+
+    # W-side: solve (HH') W' = H A' with W' >= 0
+    HHt = gram_t(H)
+    HAt = a_op.mm_nt(H).T  # (k, m) == H @ A'
+    Wt, gradWt, ok_w = nnls_blockpivot(HHt, HAt, Wt)
+
+    W = Wt.T
+    gradW = gradWt.T
+
+    # recompute gradH with the updated W (reference :366-374)
+    WtW = gram(W)
+    WtA = a_op.mm_tn(W)
+    gradH = gemm(WtW, H) - WtA
+
+    ok = ok_h & ok_w
+    return W, H, gradW, gradH, BppState(Wt=Wt, WtW=WtW, WtA=WtA), ok

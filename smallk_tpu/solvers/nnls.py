@@ -1,0 +1,177 @@
+"""Nonnegative least squares by block principal pivoting (Kim-Park).
+
+Reference: common/include/nnls.hpp (NnlsBlockpivot :144-244, BppUpdateSets
+:43-140) and common/src/nnls.cpp (UpdatePassiveSet :18-74).
+
+TPU-native redesign.  The reference extracts per-column SPD subproblems
+indexed by each column's passive set and solves them with OpenMP-parallel
+Cholesky factorizations (nmf_solver_bpp.hpp:146-219).  On TPU,
+data-dependent submatrix extraction defeats XLA, so we use a fixed-shape
+masked formulation: for passive mask p of a column,
+
+    M = (p p^T) .* LHS + diag(1 - p),   M x = p .* rhs
+
+has the unique solution x that agrees with the subproblem on passive rows
+and is 0 elsewhere.  All n columns are solved as one batched Cholesky —
+the combinatorial pivot loop runs entirely on device as a lax.while_loop
+with boolean masks standing in for the reference's BitMatrix.
+The full-exchange / backup-rule pivot logic (PBAR=3, Ninf counters, single
+bit toggle fallback) is reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.dense import gemm, zeroize_small
+
+PBAR = 3
+
+
+def _masked_cholesky_solve(LHS, RHS, passive):
+    """Batched masked SPD solve.
+
+    LHS: (k, k), RHS: (k, n), passive: (k, n) bool.
+    Returns X (k, n) with X = 0 on non-passive rows and
+    LHS[p,p] X[p,j] = RHS[p,j] on passive rows of each column j.
+    Non-SPD subproblems produce NaNs (detected by the caller), mirroring the
+    reference's NonHPSDMatrixException failure path (normal_eq.hpp:18-35).
+    """
+    k, n = RHS.shape
+    dtype = LHS.dtype
+    p = passive.T.astype(dtype)  # (n, k)
+    eye = jnp.eye(k, dtype=dtype)
+    # (n, k, k): masked LHS plus identity on non-passive rows
+    M = LHS[None, :, :] * (p[:, :, None] * p[:, None, :]) + eye[None, :, :] * (
+        1.0 - p
+    )[:, :, None]
+    b = (RHS.T * p)[:, :, None]  # (n, k, 1)
+    chol = jax.lax.linalg.cholesky(M)  # (n, k, k) lower
+    y = jax.lax.linalg.triangular_solve(
+        chol, b, left_side=True, lower=True, transpose_a=False
+    )
+    x = jax.lax.linalg.triangular_solve(
+        chol, y, left_side=True, lower=True, transpose_a=True
+    )
+    return x[:, :, 0].T  # (k, n)
+
+
+def nnls_blockpivot(LHS, RHS, Xinit):
+    """Solve LHS @ X = RHS s.t. X >= 0 columnwise, LHS (k,k) SPD.
+
+    Returns (X, Y, ok) where Y = LHS X - RHS is the gradient.
+    Mirrors reference NnlsBlockpivot (nnls.hpp:144-244): warm start passive
+    set from Xinit > 0; iteration cap 5k; small-value zeroing at 1e-12.
+    """
+    k, n = RHS.shape
+    max_iter = 5 * k
+    row_ids = jnp.arange(k, dtype=jnp.int32)[:, None]  # (k, 1)
+
+    # Small-value threshold.  The reference zeroizes |x| < 1e-12 (nnls.hpp:
+    # 215,226-227) — an absolute threshold tuned for f64.  Scaled by dtype
+    # eps and problem magnitude (8*eps*max|RHS| ~ 1e-13 for typical f64
+    # problems, ~1e-5 for f32) it cleans true roundoff noise in either
+    # precision without perturbing Y = LHS X - RHS beyond the noise floor
+    # (an over-large threshold shifts Y materially and cycles the pivots).
+    eps = jnp.finfo(RHS.dtype).eps
+    zthresh = 8.0 * eps * jnp.maximum(1.0, jnp.max(jnp.abs(RHS)))
+
+    passive = Xinit > 0
+    X = _masked_cholesky_solve(LHS, RHS, passive)
+    Y = gemm(LHS, X) - RHS
+
+    P = jnp.full((n,), PBAR, dtype=jnp.int32)
+    Ninf = jnp.full((n,), k + 1, dtype=jnp.int32)
+
+    nonopt = (Y < 0) & ~passive
+    infeas = (X < 0) & passive
+    not_good = (jnp.sum(nonopt, axis=0) + jnp.sum(infeas, axis=0)).astype(jnp.int32)
+
+    def cond(carry):
+        X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
+        return jnp.any(not_good > 0) & (it < max_iter)
+
+    def body(carry):
+        X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
+        notopt_col = not_good > 0
+
+        # --- UpdatePassiveSet (nnls.cpp:18-74) ---
+        cols1 = notopt_col & (not_good < Ninf)
+        cols2 = notopt_col & (not_good >= Ninf) & (P >= 1)
+        cols3 = notopt_col & ~cols1 & ~cols2
+
+        P = jnp.where(cols1, PBAR, jnp.where(cols2, P - 1, P))
+        Ninf = jnp.where(cols1, not_good, Ninf)
+
+        # full-exchange for cols1|cols2: set nonopt bits, clear infeasible
+        cc = (cols1 | cols2)[None, :]
+        passive = (passive | (nonopt & cc)) & ~(infeas & cc)
+
+        # backup rule for cols3: toggle the single highest-index offending bit
+        r1 = jnp.max(jnp.where(nonopt, row_ids, -1), axis=0)  # (n,)
+        r2 = jnp.max(jnp.where(infeas, row_ids, -1), axis=0)
+        rt = jnp.maximum(r1, r2)
+        toggle = (row_ids == rt[None, :]) & cols3[None, :]
+        passive = passive ^ toggle
+
+        # --- solve the non-optimal columns with the updated passive sets ---
+        Xs = _masked_cholesky_solve(LHS, RHS, passive)
+        Xs = zeroize_small(Xs, zthresh)
+        Ys = gemm(LHS, Xs) - RHS
+        mask = notopt_col[None, :]
+        X = zeroize_small(jnp.where(mask, Xs, X), zthresh)
+        Y = zeroize_small(jnp.where(mask, Ys, Y), zthresh)
+
+        # --- BppUpdateSets (nnls.hpp:43-140) ---
+        nonopt = mask & (Y < 0) & ~passive
+        infeas = mask & (X < 0) & passive
+        not_good = (jnp.sum(nonopt, axis=0) + jnp.sum(infeas, axis=0)).astype(jnp.int32)
+        return (X, Y, passive, P, Ninf, nonopt, infeas, not_good, it + 1)
+
+    carry = (X, Y, passive, P, Ninf, nonopt, infeas, not_good,
+             jnp.zeros((), dtype=jnp.int32))
+    X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = jax.lax.while_loop(
+        cond, body, carry
+    )
+
+    converged = jnp.logical_not(jnp.any(not_good > 0))
+    no_nan = jnp.logical_not(jnp.any(jnp.isnan(X)) | jnp.any(jnp.isnan(Y)))
+    return X, Y, converged & no_nan
+
+
+def nnls_hals(a_op, W, H, tol, max_iter):
+    """Fixed-W NNLS via HALS sweeps, for flat-clustering refinement.
+
+    Reference: NnlsHals (nnls.hpp:249-316).  Iterates UpdateH_Hals until the
+    projected-gradient norm drops below tol * pg0.  Returns (W, H, success).
+    Note the reference normalizes W/H on success.
+    """
+    from ..ops.dense import normalize_and_scale, projected_gradient_norm_single
+    from .hals import update_h
+
+    WtW = gemm(W.T, W)
+    WtA = a_op.mm_tn(W)
+
+    def cond(carry):
+        H, pg0, pg, it, done = carry
+        return jnp.logical_not(done) & (it < max_iter)
+
+    def body(carry):
+        H, pg0, pg, it, done = carry
+        H = update_h(H, WtW, WtA)
+        gradH = gemm(WtW, H) - WtA
+        pg_new = projected_gradient_norm_single(gradH, H)
+        pg0 = jnp.where(it == 0, pg_new, pg0)
+        done = (it > 0) & (pg_new < tol * pg0)
+        return (H, pg0, pg_new, it + 1, done)
+
+    zero = jnp.zeros((), dtype=W.dtype)
+    H, pg0, pg, it, done = jax.lax.while_loop(
+        cond, body, (H, zero, zero, jnp.zeros((), jnp.int32),
+                     jnp.zeros((), jnp.bool_))
+    )
+    W_out, H_out, _ = normalize_and_scale(W, H)
+    W = jnp.where(done, W_out, W)
+    H = jnp.where(done, H_out, H)
+    return W, H, done

@@ -1,0 +1,179 @@
+"""Rank-2 NMF solver (Kuang-Park), the hierclust workhorse.
+
+Reference: common/include/nmf_solver_rank2.hpp
+  - SystemSolveH (:25-135): closed-form 2x2 solve of W'W H = W'A via a fast
+    Givens rotation with dynamic scaling (Anda-Park), cosine/sine forms.
+  - SystemSolveW (:139-212): same for W (HH') = AH'.
+  - OptimalActiveSetH/W (:216-318): per-column/row optimal fix-up of
+    negative entries.
+  - Solver_Generic_Rank2 (:323-461): normalizes every iteration and rescales
+    HH'/AH' by the returned scale factors instead of recomputing them.
+
+TPU-native form: the per-column/row backsubstitution loops vectorize over
+the whole 2 x n (or m x 2) factor at once; the scalar cosine/sine branch
+becomes a jnp.where select over both precomputed forms (both are two flops —
+cheaper than a branch on device).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops.dense import gemm, gram, gram_t, normalize_and_scale
+
+
+class Rank2State(NamedTuple):
+    WtW: jnp.ndarray  # 2 x 2
+    WtA: jnp.ndarray  # 2 x n
+
+
+def init(a_op, W, H) -> Rank2State:
+    return Rank2State(WtW=gram(W), WtA=a_op.mm_tn(W))
+
+
+def _system_solve_h(A, B):
+    """Solve A @ X = B columnwise, A 2x2 SPD-ish, B 2xn.
+
+    Returns (X, ok).  Mirrors reference SystemSolveH including its
+    singularity checks (|A00|,|A01| < eps; |d2/a2| < eps).
+    """
+    dtype = B.dtype
+    eps = jnp.finfo(dtype).eps
+    a00, a01 = A[0, 0], A[0, 1]
+    a10, a11 = A[1, 0], A[1, 1]
+    use_cos = jnp.abs(a00) >= jnp.abs(a01)
+
+    # cosine form (t = tangent)
+    t = -a10 / jnp.where(a00 == 0, eps, a00)
+    a2_c = a00 - t * a10
+    b2_c = a01 - t * a11
+    d2_c = a11 + t * a01
+    e2_c = B[0, :] - t * B[1, :]
+    f2_c = B[1, :] + t * B[0, :]
+
+    # sine form (ct = cotangent)
+    ct = -a00 / jnp.where(a10 == 0, eps, a10)
+    a2_s = -a10 + ct * a00
+    b2_s = -a11 + ct * a01
+    d2_s = a01 + ct * a11
+    e2_s = -B[1, :] + ct * B[0, :]
+    f2_s = B[0, :] + ct * B[1, :]
+
+    a2 = jnp.where(use_cos, a2_c, a2_s)
+    b2 = jnp.where(use_cos, b2_c, b2_s)
+    d2 = jnp.where(use_cos, d2_c, d2_s)
+    e2 = jnp.where(use_cos, e2_c, e2_s)
+    f2 = jnp.where(use_cos, f2_c, f2_s)
+
+    singular = (jnp.abs(a00) < eps) & (jnp.abs(a01) < eps)
+    degenerate = jnp.abs(d2 / a2) < eps
+    ok = jnp.logical_not(singular | degenerate)
+
+    x1 = f2 / d2
+    x0 = (e2 - b2 * x1) / a2
+    return jnp.stack([x0, x1], axis=0), ok
+
+
+def _system_solve_w(A, B):
+    """Solve X @ A = B rowwise, A 2x2, B mx2.  Returns (X, ok)."""
+    dtype = B.dtype
+    eps = jnp.finfo(dtype).eps
+    a00, a01 = A[0, 0], A[0, 1]
+    a10, a11 = A[1, 0], A[1, 1]
+    use_cos = jnp.abs(a00) >= jnp.abs(a01)
+
+    t = a01 / jnp.where(a00 == 0, eps, a00)
+    a2_c = a00 + t * a01
+    b2_c = a10 + t * a11
+    d2_c = a11 - t * a10
+    e2_c = B[:, 0] + t * B[:, 1]
+    f2_c = B[:, 1] - t * B[:, 0]
+
+    ct = a00 / jnp.where(a01 == 0, eps, a01)
+    a2_s = -a01 - ct * a00
+    b2_s = -a11 - ct * a10
+    d2_s = a10 - ct * a11
+    e2_s = -B[:, 1] - ct * B[:, 0]
+    f2_s = B[:, 0] - ct * B[:, 1]
+
+    a2 = jnp.where(use_cos, a2_c, a2_s)
+    b2 = jnp.where(use_cos, b2_c, b2_s)
+    d2 = jnp.where(use_cos, d2_c, d2_s)
+    e2 = jnp.where(use_cos, e2_c, e2_s)
+    f2 = jnp.where(use_cos, f2_c, f2_s)
+
+    singular = (jnp.abs(a00) < eps) & (jnp.abs(a01) < eps)
+    degenerate = jnp.abs(d2 / a2) < eps
+    ok = jnp.logical_not(singular | degenerate)
+
+    x1 = f2 / d2
+    x0 = (e2 - b2 * x1) / a2
+    return jnp.stack([x0, x1], axis=1), ok
+
+
+def _optimal_active_set_h(H, WtW, WtA):
+    """Columnwise optimal fix-up of negative H entries (reference :216-265)."""
+    w00, w11 = WtW[0, 0], WtW[1, 1]
+    v1 = WtA[0, :] / w00
+    v2 = WtA[1, :] / w11
+    vv1 = v1 * jnp.sqrt(w00)
+    vv2 = v2 * jnp.sqrt(w11)
+    pick1 = vv1 >= vv2
+    v1 = jnp.where(pick1, v1, 0.0)
+    v2 = jnp.where(pick1, 0.0, v2)
+    needs_fix = (H[0, :] <= 0) | (H[1, :] <= 0)
+    h0 = jnp.where(needs_fix, v1, H[0, :])
+    h1 = jnp.where(needs_fix, v2, H[1, :])
+    return jnp.stack([h0, h1], axis=0)
+
+
+def _optimal_active_set_w(W, HHt, AHt):
+    """Rowwise optimal fix-up of negative W entries (reference :269-318)."""
+    h00, h11 = HHt[0, 0], HHt[1, 1]
+    v1 = AHt[:, 0] / h00
+    v2 = AHt[:, 1] / h11
+    vv1 = v1 * jnp.sqrt(h00)
+    vv2 = v2 * jnp.sqrt(h11)
+    pick1 = vv1 >= vv2
+    v1 = jnp.where(pick1, v1, 0.0)
+    v2 = jnp.where(pick1, 0.0, v2)
+    needs_fix = (W[:, 0] <= 0) | (W[:, 1] <= 0)
+    w0 = jnp.where(needs_fix, v1, W[:, 0])
+    w1 = jnp.where(needs_fix, v2, W[:, 1])
+    return jnp.stack([w0, w1], axis=1)
+
+
+def step(a_op, W, H, state: Rank2State):
+    WtW, WtA = state
+
+    # solve W'W H = W'A, then optimal active-set fix-up
+    H, ok_h = _system_solve_h(WtW, WtA)
+    H = _optimal_active_set_h(H, WtW, WtA)
+
+    HHt = gram_t(H)
+    AHt = a_op.mm_nt(H)
+
+    # solve W (HH') = AH'
+    W, ok_w = _system_solve_w(HHt, AHt)
+    W = _optimal_active_set_w(W, HHt, AHt)
+
+    # per-iteration normalization; rescale HH'/AH' by the factors instead of
+    # recomputing (reference :429-442)
+    W, H, norms = normalize_and_scale(W, H)
+    norms_ok = jnp.all(norms > jnp.finfo(W.dtype).eps)
+    HHt = HHt * jnp.outer(norms, norms)
+    AHt = AHt * norms[None, :]
+
+    gradW = gemm(W, HHt) - AHt
+
+    WtW = gram(W)
+    WtA = a_op.mm_tn(W)
+    gradH = gemm(WtW, H) - WtA
+
+    ok = ok_h & ok_w & norms_ok
+    ok = ok & jnp.logical_not(
+        jnp.any(jnp.isnan(gradW)) | jnp.any(jnp.isnan(gradH))
+    )
+    return W, H, gradW, gradH, Rank2State(WtW=WtW, WtA=WtA), ok

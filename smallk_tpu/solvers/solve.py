@@ -1,0 +1,123 @@
+"""Algorithm-agnostic NMF iteration driver.
+
+Reference: common/include/nmf_solve_generic.hpp (NmfSolve :34-140):
+  - one-time solver + estimator init
+  - loop to max_iter calling the solver step
+  - first `min_iter` iterations skip the progress check (but iteration 0
+    still primes the estimator)
+  - convergence after `tolcount` consecutive iterations with metric <= tol
+  - optional NormalizeAndScale after the loop
+  - reaching max_iter counts as success (:132-135)
+
+TPU-native redesign: the whole loop is one lax.while_loop compiled on device
+— no host round-trips per iteration.  Solver failure (singular system,
+non-SPD Cholesky) is a boolean in the carry, mirroring the reference's
+false-return failure ladder (§5.3 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..common.options import NmfAlgorithm, NmfOptions
+from ..ops.dense import normalize_and_scale
+from . import bpp, hals, mu, rank2
+from .progress import prog_init, prog_update
+
+_SOLVERS = {
+    NmfAlgorithm.MU: mu,
+    NmfAlgorithm.HALS: hals,
+    NmfAlgorithm.RANK2: rank2,
+    NmfAlgorithm.BPP: bpp,
+}
+
+
+class SolveResult(NamedTuple):
+    W: jnp.ndarray
+    H: jnp.ndarray
+    iterations: jnp.ndarray  # completed solver steps
+    converged: jnp.ndarray   # metric criterion satisfied
+    success: jnp.ndarray     # converged OR ran to max_iter without failure
+    metric: jnp.ndarray      # last progress metric value
+
+
+def get_solver(algorithm: NmfAlgorithm):
+    return _SOLVERS[algorithm]
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def nmf_solve(a_op, W0, H0, opts: NmfOptions) -> SolveResult:
+    """Run the NMF iteration loop on device.
+
+    `opts` is static: each (algorithm, shape) pair compiles once and is
+    cached; hierclust reuses one compiled rank-2 loop for every tree node.
+    """
+    solver = get_solver(opts.algorithm)
+    method = opts.prog_est_algorithm
+
+    solver_state = solver.init(a_op, W0, H0)
+    prog_state = prog_init(method, W0)
+
+    gradW0 = jnp.zeros_like(W0)
+    gradH0 = jnp.zeros_like(H0)
+    zero_i = jnp.zeros((), jnp.int32)
+    false_ = jnp.zeros((), jnp.bool_)
+    one_f = jnp.ones((), W0.dtype)
+
+    def cond(carry):
+        (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed) = carry
+        return (it < opts.max_iter) & ~done & ~failed
+
+    def body(carry):
+        (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed) = carry
+
+        W, H, gW, gH, sstate, ok = solver.step(a_op, W, H, sstate)
+        failed = failed | ~ok
+
+        # progress estimation: iteration 0 always primes the estimator;
+        # checks begin at min_iter (reference :81-95)
+        do_update = (it == 0) | (it >= opts.min_iter)
+
+        def upd(pstate):
+            return prog_update(method, it, W, H, gW, gH, pstate)
+
+        metric_new, pstate = jax.lax.cond(
+            do_update, upd, lambda s: (metric, s), pstate
+        )
+        metric = metric_new
+
+        check = (it >= opts.min_iter) & ~failed
+        hit = check & (metric <= opts.tol)
+        sc = jnp.where(check, jnp.where(hit, sc + 1, 0), sc)
+        done = done | (check & (sc >= opts.tolcount))
+
+        if opts.verbose:
+            jax.debug.print(
+                "{it}:\tprogress metric:\t{m}", it=it + 1, m=metric,
+                ordered=False,
+            )
+
+        return (W, H, gW, gH, sstate, pstate, it + 1, sc, metric, done, failed)
+
+    carry = (
+        W0, H0, gradW0, gradH0, solver_state, prog_state,
+        zero_i, zero_i, one_f, false_, false_,
+    )
+    (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed) = (
+        jax.lax.while_loop(cond, body, carry)
+    )
+
+    if opts.normalize:
+        W_n, H_n, _ = normalize_and_scale(W, H)
+        W = jnp.where(failed, W, W_n)
+        H = jnp.where(failed, H, H_n)
+
+    # reaching max_iter without failure counts as success (reference :132-135)
+    success = ~failed & (done | (it >= opts.max_iter))
+    return SolveResult(
+        W=W, H=H, iterations=it, converged=done, success=success, metric=metric
+    )

@@ -1,0 +1,100 @@
+"""IO roundtrip tests (reference test model: tests/scripts golden cmp,
+replaced by numerical roundtrip equality per SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from smallk_tpu.io.delimited import load_delimited, write_delimited
+from smallk_tpu.io.loader import load_matrix
+from smallk_tpu.io.matrix_market import load_matrix_market, write_matrix_market
+
+
+def test_csv_roundtrip(tmp_path):
+    rng = np.random.RandomState(42)
+    A = rng.rand(17, 9)
+    path = str(tmp_path / "a.csv")
+    write_delimited(path, A, precision=15)
+    B = load_delimited(path)
+    np.testing.assert_allclose(A, B, rtol=1e-14)
+
+
+def test_csv_skips_comments(tmp_path):
+    path = str(tmp_path / "c.csv")
+    with open(path, "w") as f:
+        f.write("# comment\n\n% another\n1.0,2.0\n3.0,4.0\n")
+    B = load_delimited(path)
+    np.testing.assert_allclose(B, [[1.0, 2.0], [3.0, 4.0]])
+
+
+def test_mtx_roundtrip(tmp_path):
+    rng = np.random.RandomState(7)
+    A = sp.random(23, 11, density=0.2, random_state=rng, format="csc")
+    path = str(tmp_path / "a.mtx")
+    write_matrix_market(path, A, precision=17)
+    B = load_matrix_market(path)
+    assert B.shape == A.shape
+    np.testing.assert_allclose(A.toarray(), B.toarray(), rtol=1e-12)
+
+
+def test_mtx_symmetric(tmp_path):
+    path = str(tmp_path / "s.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write("3 3 4\n1 1 1.0\n2 1 2.0\n3 2 3.0\n3 3 4.0\n")
+    B = load_matrix_market(path).toarray()
+    expected = np.array([[1, 2, 0], [2, 0, 3], [0, 3, 4]], dtype=float)
+    np.testing.assert_allclose(B, expected)
+
+
+def test_mtx_pattern(tmp_path):
+    path = str(tmp_path / "p.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        f.write("2 2 2\n1 1\n2 2\n")
+    B = load_matrix_market(path).toarray()
+    np.testing.assert_allclose(B, np.eye(2))
+
+
+def test_loader_dispatch(tmp_path):
+    dense = str(tmp_path / "d.csv")
+    write_delimited(dense, np.ones((2, 2)))
+    out = load_matrix(dense)
+    assert isinstance(out, np.ndarray)
+
+    sparse = str(tmp_path / "s.mtx")
+    write_matrix_market(sparse, sp.eye(3, format="csc"))
+    out = load_matrix(sparse)
+    assert sp.issparse(out)
+
+    with pytest.raises(ValueError):
+        load_matrix("bogus.xyz")
+
+
+def test_matrixgen_types():
+    from smallk_tpu.common.rng import Random
+    from smallk_tpu.engines.matrixgen import generate
+
+    rng = Random(123)
+    u = generate(10, 8, "UNIFORM", rng=rng)
+    assert u.shape == (10, 8) and (u >= 0).all() and (u <= 1).all()
+
+    # determinism with the same seed
+    u2 = generate(10, 8, "UNIFORM", rng=Random(123))
+    np.testing.assert_array_equal(u, u2)
+
+    i = generate(5, 5, "IDENTITY")
+    np.testing.assert_allclose(i, np.eye(5))
+    assert generate(4, 4, "ONES").sum() == 16
+    assert generate(4, 4, "ZEROS").sum() == 0
+
+    s = generate(20, 10, "SPARSE", rng=Random(5), nz_per_col=3)
+    assert sp.issparse(s)
+    assert (s.toarray() != 0).sum(axis=0).min() == 3
+
+    d = generate(6, 4, "DENSE_DIAG", rng=Random(9))
+    off_diag = d.copy()
+    off_diag[np.arange(4), np.arange(4)] = 0
+    assert np.count_nonzero(off_diag) == 0 and np.count_nonzero(d) == 4
+    sd = generate(6, 4, "SPARSE_DIAG", rng=Random(9))
+    assert sp.issparse(sd) and sd.nnz == 4

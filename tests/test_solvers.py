@@ -1,0 +1,216 @@
+"""Solver correctness tests.
+
+Modeled on the reference test strategy (SURVEY.md §4): randomized
+property tests with numerical tolerances replacing byte-exact goldens —
+NNLS-BPP vs scipy's active-set NNLS (reference TestBpp used Matlab goldens),
+rank-2 Givens solve vs direct solve (reference TestRank2SystemSolve),
+and reconstruction-error descent for each full NMF algorithm
+(reference TestDenseNmf ComparisonTest).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smallk_tpu.common.options import (
+    NmfAlgorithm,
+    NmfOptions,
+    NmfProgressAlgorithm,
+)
+from smallk_tpu.common.rng import Random, random_matrix
+from smallk_tpu.ops.aop import DenseAOp
+from smallk_tpu.ops.dense import relative_fnorm
+from smallk_tpu.solvers.nnls import nnls_blockpivot
+from smallk_tpu.solvers.rank2 import _system_solve_h, _system_solve_w
+from smallk_tpu.solvers.solve import nmf_solve
+
+DTYPE = jnp.float64
+
+
+def _spd(k, seed):
+    rng = np.random.RandomState(seed)
+    W = rng.rand(4 * k, k)
+    return W.T @ W + 1e-8 * np.eye(k)
+
+
+class TestNnlsBlockpivot:
+    """vs scipy.optimize.nnls per column (reference TestBpp model)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    @pytest.mark.parametrize("k,n", [(4, 12), (8, 33), (16, 50)])
+    def test_matches_scipy(self, seed, k, n):
+        from scipy.optimize import nnls as scipy_nnls
+
+        rng = np.random.RandomState(seed)
+        Wf = rng.rand(3 * k, k)
+        LHS = Wf.T @ Wf + 1e-6 * np.eye(k)
+        RHS = Wf.T @ rng.rand(3 * k, n)
+        Xinit = rng.rand(k, n) - 0.3  # mixed-sign warm start
+
+        X, Y, ok = nnls_blockpivot(
+            jnp.asarray(LHS, DTYPE), jnp.asarray(RHS, DTYPE),
+            jnp.asarray(Xinit, DTYPE),
+        )
+        assert bool(ok)
+        X = np.asarray(X)
+
+        # scipy nnls solves min ||Cx - d||; our problem is the normal
+        # equation LHS x = rhs with LHS = C'C, rhs = C'd
+        L = np.linalg.cholesky(LHS)
+        for j in range(n):
+            d = np.linalg.solve(L, RHS[:, j])
+            x_ref, _ = scipy_nnls(L.T, d)
+            np.testing.assert_allclose(X[:, j], x_ref, atol=1e-6)
+
+        # KKT: Y = LHS X - RHS; X>=0, Y>=-tol on active, |X*Y| small
+        Y = np.asarray(Y)
+        assert (X >= 0).all()
+        assert (Y >= -1e-8).all() or np.allclose(X[Y < -1e-8], 0, atol=1e-8)
+        assert np.abs(X * Y).max() < 1e-6
+
+    def test_warm_start_all_positive(self):
+        # passive set = everything: single unconstrained solve suffices
+        k, n = 6, 10
+        rng = np.random.RandomState(11)
+        LHS = _spd(k, 11)
+        Xtrue = rng.rand(k, n) + 0.1
+        RHS = LHS @ Xtrue
+        X, Y, ok = nnls_blockpivot(
+            jnp.asarray(LHS, DTYPE), jnp.asarray(RHS, DTYPE),
+            jnp.asarray(Xtrue, DTYPE),
+        )
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(X), Xtrue, atol=1e-8)
+
+
+class TestRank2SystemSolve:
+    """Givens 2x2 solver vs direct solve (reference TestRank2SystemSolve)."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_solve_h(self, seed):
+        rng = np.random.RandomState(seed)
+        Wf = rng.rand(10, 2)
+        A = Wf.T @ Wf
+        B = rng.rand(2, 7)
+        X, ok = _system_solve_h(jnp.asarray(A, DTYPE), jnp.asarray(B, DTYPE))
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(X), np.linalg.solve(A, B),
+                                   atol=1e-10)
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_solve_w(self, seed):
+        rng = np.random.RandomState(seed)
+        Hf = rng.rand(2, 10)
+        A = Hf @ Hf.T
+        B = rng.rand(7, 2)
+        X, ok = _system_solve_w(jnp.asarray(A, DTYPE), jnp.asarray(B, DTYPE))
+        assert bool(ok)
+        # solve X A = B  =>  X = B A^{-1}
+        np.testing.assert_allclose(
+            np.asarray(X), B @ np.linalg.inv(A), atol=1e-10
+        )
+
+    def test_singular_detected(self):
+        A = jnp.zeros((2, 2), DTYPE)
+        B = jnp.ones((2, 3), DTYPE)
+        _, ok = _system_solve_h(A, B)
+        assert not bool(ok)
+
+
+def _run_nmf(alg, m=48, n=40, k=5, seed=0, tol=1e-4, max_iter=500,
+             prog=NmfProgressAlgorithm.PG_RATIO):
+    rng = Random(seed)
+    A = random_matrix(m, n, rng, dtype=np.float64)
+    k_eff = 2 if alg == NmfAlgorithm.RANK2 else k
+    W0 = random_matrix(m, k_eff, rng, dtype=np.float64)
+    H0 = random_matrix(k_eff, n, rng, dtype=np.float64)
+    opts = NmfOptions(
+        tol=tol, algorithm=alg, prog_est_algorithm=prog,
+        height=m, width=n, k=k_eff, min_iter=5, max_iter=max_iter,
+        verbose=False, dtype="float64",
+    )
+    a_op = DenseAOp(jnp.asarray(A, DTYPE))
+    res = nmf_solve(a_op, jnp.asarray(W0, DTYPE), jnp.asarray(H0, DTYPE), opts)
+    return A, res
+
+
+class TestNmfAlgorithms:
+    @pytest.mark.parametrize(
+        "alg",
+        [NmfAlgorithm.MU, NmfAlgorithm.HALS, NmfAlgorithm.BPP,
+         NmfAlgorithm.RANK2],
+    )
+    def test_descends_and_nonneg(self, alg):
+        A, res = _run_nmf(alg)
+        assert bool(res.success)
+        W, H = np.asarray(res.W), np.asarray(res.H)
+        assert (W >= 0).all() and (H >= 0).all()
+        rel = float(relative_fnorm(jnp.asarray(A, DTYPE), res.W, res.H))
+        # random uniform matrices factor to modest residual; mostly we check
+        # the solve actually reduced error vs the trivial zero factorization
+        assert rel < 0.55
+        assert int(res.iterations) >= 5
+
+    @pytest.mark.parametrize(
+        "alg", [NmfAlgorithm.HALS, NmfAlgorithm.BPP]
+    )
+    def test_exact_lowrank_recovery(self, alg):
+        # A = W* H* with k matching: solvers should reach tiny residual
+        rng = np.random.RandomState(3)
+        m, n, k = 40, 36, 4
+        Wt, Ht = rng.rand(m, k), rng.rand(k, n)
+        A = Wt @ Ht
+        W0 = rng.rand(m, k)
+        H0 = rng.rand(k, n)
+        opts = NmfOptions(
+            tol=1e-6, algorithm=alg, height=m, width=n, k=k,
+            min_iter=5, max_iter=2000, verbose=False, dtype="float64",
+        )
+        res = nmf_solve(
+            DenseAOp(jnp.asarray(A, DTYPE)), jnp.asarray(W0, DTYPE),
+            jnp.asarray(H0, DTYPE), opts,
+        )
+        rel = float(relative_fnorm(jnp.asarray(A, DTYPE), res.W, res.H))
+        assert rel < 1e-3
+
+    def test_mu_with_delta_fnorm(self):
+        # the facade forces MU to DELTA_FNORM stopping (smallk.cpp:574-582)
+        A, res = _run_nmf(
+            NmfAlgorithm.MU, prog=NmfProgressAlgorithm.DELTA_FNORM,
+            tol=1e-3, max_iter=300,
+        )
+        assert bool(res.success)
+
+    def test_normalized_output(self):
+        _, res = _run_nmf(NmfAlgorithm.BPP)
+        W = np.asarray(res.W)
+        norms = np.linalg.norm(W, axis=0)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-10)
+
+    def test_max_iter_counts_as_success(self):
+        _, res = _run_nmf(NmfAlgorithm.MU, tol=1e-12, max_iter=8)
+        assert int(res.iterations) == 8
+        assert bool(res.success)
+        assert not bool(res.converged)
+
+    def test_determinism(self):
+        _, r1 = _run_nmf(NmfAlgorithm.BPP, seed=42)
+        _, r2 = _run_nmf(NmfAlgorithm.BPP, seed=42)
+        np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r2.W))
+        assert int(r1.iterations) == int(r2.iterations)
+
+
+class TestOptionsValidation:
+    def test_bad_k(self):
+        with pytest.raises(ValueError):
+            NmfOptions(height=10, width=10, k=11).validate()
+
+    def test_rank2_requires_k2(self):
+        with pytest.raises(ValueError):
+            NmfOptions(
+                height=10, width=10, k=3, algorithm=NmfAlgorithm.RANK2
+            ).validate()
+
+    def test_ok(self):
+        NmfOptions(height=10, width=10, k=4).validate()
