@@ -1,0 +1,297 @@
+"""Hierarchical clustering via recursive Rank-2 NMF (HierNMF2).
+
+Reference: hierclust/include/clust_hier_generic.hpp (ClustHier :77-238,
+TrialSplit :245-376, ActualSplit :383-517), hierclust/src/clust.cpp
+(RunClust), hierclust/include/clust_flat_generic.hpp (ClustFlat).
+
+TPU-native redesign (SURVEY.md §7.3 "dynamic shapes in hierclust"):
+the reference physically extracts each node's column subset with
+row-compaction (A.SubMatrixColsCompact).  Here every node factorization
+runs on the FULL-shape operand wrapped in a column mask (ops.aop.MaskedAOp)
+— masking commutes with the two products, zero columns/rows behave exactly
+like removed ones, and XLA compiles ONE rank-2 solve loop reused for every
+node in the tree (no per-node recompilation, no dynamic shapes).  Tree
+bookkeeping, NDCG priorities, and doc partitioning are host-side numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..common.options import ClustOptions, ClustStats, NmfStats
+from ..common.rng import Random, random_matrix
+from ..io.delimited import load_delimited
+from ..ops.aop import MaskedAOp, as_aop
+from ..solvers.solve import nmf_solve
+from .priority import compute_priority
+from .tree import Tree
+
+
+class _InitializerSource:
+    """W/H initializers for each factorization, in consumption order.
+
+    Random by default; with `initdir`, loads Winit_N.csv / Hinit_N.csv in
+    factorization order for deterministic testing (reference
+    LoadInitializers, clust_hier_generic.hpp:568-622).
+    """
+
+    def __init__(self, m, n, rng: Random, initdir=None, dtype=np.float64):
+        self.m, self.n = m, n
+        self.rng = rng
+        self.initdir = initdir
+        self.counter = 1
+        self.dtype = dtype
+
+    def next(self):
+        if self.initdir:
+            W = load_delimited(
+                f"{self.initdir.rstrip('/')}/Winit_{self.counter}.csv",
+                dtype=self.dtype,
+            )
+            H = load_delimited(
+                f"{self.initdir.rstrip('/')}/Hinit_{self.counter}.csv",
+                dtype=self.dtype,
+            )
+            self.counter += 1
+            if W.shape != (self.m, 2) or H.shape != (2, self.n):
+                raise ValueError(
+                    f"initializer {self.counter - 1} has wrong shape"
+                )
+            return W, H
+        W = random_matrix(self.m, 2, self.rng, dtype=self.dtype)
+        H = random_matrix(2, self.n, self.rng, dtype=self.dtype)
+        return W, H
+
+
+class _Rank2Runner:
+    """Runs masked rank-2 factorizations on device with retry ladder."""
+
+    def __init__(self, a_op, opts: ClustOptions, inits: _InitializerSource,
+                 stats: ClustStats, dtype):
+        self.a_op = a_op
+        self.opts = opts
+        self.inits = inits
+        self.stats = stats
+        self.dtype = dtype
+        m, n = a_op.shape
+        self.m, self.n = m, n
+
+    def solve(self, subset=None, max_attempts=3):
+        """Factor A[:, subset] (full A when subset is None).
+
+        Returns (W (m,2), H_subset (2,|subset|), success).  Retries with
+        fresh initializers up to `max_attempts` times on solver failure
+        (singular system), mirroring clust_hier_generic.hpp:123-151,435-472.
+        """
+        nmf_opts = self.opts.nmf_opts
+        if subset is None:
+            a_op = self.a_op
+        else:
+            mask = np.zeros(self.n, dtype=self.dtype)
+            mask[subset] = 1.0
+            a_op = MaskedAOp(self.a_op, jnp.asarray(mask))
+
+        for _ in range(max_attempts):
+            W0, H0 = self.inits.next()
+            res = nmf_solve(
+                a_op,
+                jnp.asarray(W0, self.dtype),
+                jnp.asarray(H0, self.dtype),
+                nmf_opts,
+            )
+            if bool(res.success):
+                self.stats.nmf_count += 1
+                if int(res.iterations) >= nmf_opts.max_iter:
+                    self.stats.max_count += 1
+                W = np.asarray(res.W)
+                H = np.asarray(res.H)
+                H_out = H if subset is None else H[:, subset]
+                return W, H_out, True
+            if self.opts.verbose:
+                print("\nNode factorization failed, retrying with new "
+                      "initializers...")
+        return None, None, False
+
+
+def _actual_split(runner: _Rank2Runner, subset, w_parent):
+    """One split attempt on a column subset.
+
+    Reference: ActualSplit (clust_hier_generic.hpp:383-517).
+    Returns (priority, W (m,2), H (2,|subset|), labels (|subset|,)).
+    """
+    m = runner.m
+    if len(subset) <= 3:
+        labels = np.ones(len(subset), dtype=np.int64)
+        return -1.0, np.zeros((m, 2)), np.zeros((2, len(subset))), labels
+
+    W, H, ok = runner.solve(subset)
+    if not ok:
+        raise RuntimeError(
+            "HierNMF2: node factorization failed after three attempts."
+        )
+
+    labels = np.where(H[0, :] > H[1, :], 0, 1).astype(np.int64)
+    has_0 = bool((labels == 0).any())
+    has_1 = bool((labels == 1).any())
+
+    priority = -1.0
+    if has_0 and has_1:
+        priority = compute_priority(w_parent, W)
+    return priority, W, H, labels
+
+
+def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
+                 opts: ClustOptions):
+    """Split with outlier detection and retries.
+
+    Reference: TrialSplit (clust_hier_generic.hpp:245-376).  May shrink
+    `subset` by dropping outlier items; on exhausting trial_allowance the
+    node becomes a permanent leaf (priority -2) with its original docs.
+    Returns (priority, subset, W, H).
+    """
+    subset = np.asarray(subset, dtype=np.int64)
+    subset_backup = subset.copy()
+    subset_small = np.empty(0, dtype=np.int64)
+
+    trial = 0
+    priority_one = -2.0
+    W = H = None
+    while trial < opts.trial_allowance:
+        priority_one, W, H, labels = _actual_split(runner, subset, w_parent)
+        if priority_one < 0:
+            break
+
+        counts = np.bincount(labels, minlength=2)
+        smallest_size = int(counts.min())
+        if smallest_size < opts.unbalanced * len(labels):
+            label_small = 0 if smallest_size == counts[0] else 1
+            subset_small = subset[labels == label_small]
+
+            # score the small cluster on its own; its parent topic vector is
+            # the corresponding column of this split's W
+            pr_small, _, _, _ = _actual_split(
+                runner, subset_small, W[:, label_small]
+            )
+            if pr_small < min_priority:
+                trial += 1
+                if trial < opts.trial_allowance:
+                    if opts.verbose:
+                        print(f"dropping {len(subset_small)} items ...")
+                    subset = np.setdiff1d(subset, subset_small)
+            else:
+                break
+        else:
+            break
+
+    if trial == opts.trial_allowance:
+        # exhausted all attempts: permanent leaf with original docs
+        if opts.verbose:
+            print(f"recycling {len(subset_small)} items ...")
+        subset = subset_backup
+        W = np.zeros((runner.m, 2))
+        H = np.zeros((2, len(subset)))
+        priority_one = -2.0
+
+    return priority_one, subset, W, H
+
+
+def clust_hier(A, opts: ClustOptions, rng: Random,
+               stats: ClustStats | None = None):
+    """Build the hierarchical clustering tree.
+
+    Reference: ClustHier (clust_hier_generic.hpp:77-238).
+    Returns (tree, stats).
+    """
+    stats = stats if stats is not None else ClustStats()
+    opts.validate()
+    dtype = jnp.dtype(opts.nmf_opts.dtype)
+    a_op = as_aop(A, dtype=dtype)
+    m, n = a_op.shape
+
+    num_clusters = opts.num_clusters
+    node_count = 2 * (num_clusters - 1)
+
+    tree = Tree()
+    tree.init(num_clusters, node_count, m, n)
+
+    inits = _InitializerSource(m, n, rng, opts.initdir, dtype=np.float64)
+    runner = _Rank2Runner(a_op, opts, inits, stats, dtype)
+
+    # factor the root (<= 3 attempts)
+    W, H, ok = runner.solve(None)
+    if not ok:
+        raise RuntimeError(
+            "HierNMF2: root node factorization failed after three attempts"
+        )
+
+    W_buffer = [None] * node_count
+    H_buffer = [None] * node_count
+    split_index = 0
+
+    for i in range(num_clusters - 1):
+        if i == 0:
+            min_priority = np.inf
+            tree.split_root(W, H)
+        else:
+            min_priority, max_priority, split_index = (
+                tree.min_max_leaf_priorities()
+            )
+            if max_priority < 0:
+                if opts.verbose:
+                    print("\nHierNMF2: no further factorization possible.\n")
+                break
+            W = W_buffer[split_index]
+            H = H_buffer[split_index]
+            tree.split(split_index, W, H)
+
+        for idx, docs_fn, tv_fn in (
+            (tree.index0, tree.left_child_docs, tree.left_child_topic_vector),
+            (tree.index1, tree.right_child_docs,
+             tree.right_child_topic_vector),
+        ):
+            priority, subset, W_c, H_c = _trial_split(
+                runner, docs_fn(), min_priority, tv_fn(), opts
+            )
+            tree.nodes[idx].docs = subset  # TrialSplit may drop outliers
+            tree.set_node_priority(idx, priority)
+            W_buffer[idx] = W_c
+            H_buffer[idx] = H_c
+
+        if opts.verbose:
+            print(f"[{i + 1}] ", end="", flush=True)
+
+    tree.compute_top_terms(opts.maxterms)
+    tree.compute_assignments()
+    if opts.verbose:
+        print()
+    return tree, stats
+
+
+def clust_flat(A, tree: Tree, opts: ClustOptions, rng: Random):
+    """Flat refinement: W from the k leaf topic vectors, H by NNLS-HALS.
+
+    Reference: ClustFlat (clust_flat_generic.hpp:15-76), <= 3 attempts with
+    fresh random H.  Returns (W (m,k), H (k,n), success).
+    """
+    from ..solvers.nnls import nnls_hals
+
+    dtype = jnp.dtype(opts.nmf_opts.dtype)
+    a_op = as_aop(A, dtype=dtype)
+    m, n = a_op.shape
+    k = opts.num_clusters
+
+    W = tree.flatclust_init_w(m, k)
+    W_dev = jnp.asarray(W, dtype)
+
+    for _ in range(3):
+        H0 = random_matrix(k, n, rng, dtype=np.float64)
+        W_out, H_out, ok = nnls_hals(
+            a_op, W_dev, jnp.asarray(H0, dtype),
+            opts.nmf_opts.tol, opts.nmf_opts.max_iter,
+        )
+        if bool(ok):
+            return np.asarray(W_out), np.asarray(H_out), True
+    print("Flatclust NNLS solver failed after 3 attempts.")
+    return np.asarray(W_out), np.asarray(H_out), False

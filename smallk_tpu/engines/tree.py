@@ -1,0 +1,208 @@
+"""Binary cluster tree for hierarchical NMF.
+
+Reference: hierclust/include/tree.hpp (Tree / TreeNode).  Flat-array tree;
+the root is not stored; children of the root occupy indices 0 and 1; each
+split appends two nodes.  Node id == index in the node array.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+NONE = -1
+MAX_PRIORITY = np.finfo(np.float64).max
+
+
+@dataclasses.dataclass
+class TreeNode:
+    """Reference: TreeNode (tree.hpp:32-53)."""
+
+    priority: float = 0.0
+    parent_index: int = NONE
+    left_child_index: int = NONE
+    right_child_index: int = NONE
+    is_valid: bool = False
+    is_left_child: bool = False
+    topic_vector: Optional[np.ndarray] = None  # (m,)
+    term_indices: Optional[np.ndarray] = None  # top-ranked term indices
+    docs: Optional[np.ndarray] = None  # document indices at this node
+
+
+class Tree:
+    """Flat-array binary tree (reference Tree, tree.hpp:57-158)."""
+
+    def __init__(self):
+        self.nodes: List[TreeNode] = []
+        self.is_leaf: List[bool] = []
+        self.active_nodes = 0
+        self.index0 = NONE
+        self.index1 = NONE
+        self.total_docs = 0
+        self.leaf_doc_count = 0
+        self.outliers: np.ndarray = np.empty(0, dtype=np.int64)
+        self.assignments: np.ndarray = np.empty(0, dtype=np.int64)
+
+    def init(self, num_clusters: int, node_count: int, term_count: int,
+             doc_count: int) -> None:
+        self.total_docs = doc_count
+        self.term_count = term_count
+        self.nodes = [TreeNode() for _ in range(node_count)]
+        self.is_leaf = [False] * node_count
+        self.active_nodes = 0
+
+    # --- split operations -------------------------------------------------
+
+    def split_root(self, W: np.ndarray, H: np.ndarray) -> None:
+        """Partition all docs between the root's two children by
+        H(0,c) > H(1,c) (reference SplitRoot, tree.hpp:223-263)."""
+        self.index0, self.index1 = 0, 1
+        for idx, is_left in ((0, True), (1, False)):
+            node = self.nodes[idx]
+            node.parent_index = NONE
+            node.left_child_index = NONE
+            node.right_child_index = NONE
+            node.is_valid = True
+            node.is_left_child = is_left
+            self.is_leaf[idx] = True
+        self.active_nodes += 2
+
+        left = H[0, :] > H[1, :]
+        all_docs = np.arange(H.shape[1], dtype=np.int64)
+        self.nodes[0].docs = all_docs[left]
+        self.nodes[1].docs = all_docs[~left]
+        self._update_topic_vectors(W)
+
+    def split(self, node_index: int, W: np.ndarray, H: np.ndarray) -> None:
+        """Split an existing leaf; H has one column per doc in the node's
+        subset (reference Split, tree.hpp:267-317)."""
+        self.index0 = self.active_nodes
+        self.index1 = self.active_nodes + 1
+        self.active_nodes += 2
+
+        parent = self.nodes[node_index]
+        parent.left_child_index = self.index0
+        parent.right_child_index = self.index1
+        self.is_leaf[node_index] = False
+
+        for idx, is_left in ((self.index0, True), (self.index1, False)):
+            node = self.nodes[idx]
+            node.parent_index = node_index
+            node.left_child_index = NONE
+            node.right_child_index = NONE
+            node.is_valid = True
+            node.is_left_child = is_left
+            self.is_leaf[idx] = True
+
+        source_docs = parent.docs
+        left = H[0, :] > H[1, :]
+        self.nodes[self.index0].docs = source_docs[left]
+        self.nodes[self.index1].docs = source_docs[~left]
+        self._update_topic_vectors(W)
+
+    def _update_topic_vectors(self, W: np.ndarray) -> None:
+        self.nodes[self.index0].topic_vector = np.array(W[:, 0])
+        self.nodes[self.index1].topic_vector = np.array(W[:, 1])
+
+    # --- queries ----------------------------------------------------------
+
+    def min_max_leaf_priorities(self):
+        """Returns (min_pos_priority, max_priority, max_priority_index).
+        Min considers only positive priorities (tree.hpp:193-219)."""
+        min_p = np.finfo(np.float64).max
+        max_p = -np.finfo(np.float64).max
+        max_idx = NONE
+        for q, leaf in enumerate(self.is_leaf):
+            if not leaf:
+                continue
+            p = self.nodes[q].priority
+            if 0 < p < min_p:
+                min_p = p
+            if p > max_p:
+                max_p = p
+                max_idx = q
+        return min_p, max_p, max_idx
+
+    def set_node_priority(self, node_index: int, priority: float) -> None:
+        self.nodes[node_index].priority = float(priority)
+
+    def left_child_docs(self):
+        return self.nodes[self.index0].docs
+
+    def right_child_docs(self):
+        return self.nodes[self.index1].docs
+
+    def left_child_topic_vector(self):
+        return self.nodes[self.index0].topic_vector
+
+    def right_child_topic_vector(self):
+        return self.nodes[self.index1].topic_vector
+
+    # --- results ----------------------------------------------------------
+
+    def compute_top_terms(self, max_terms: int) -> None:
+        from .assignments import top_terms
+
+        for node in self.nodes:
+            if node.is_valid and node.topic_vector is not None:
+                node.term_indices = top_terms(node.topic_vector, max_terms)
+
+    def compute_assignments(self) -> None:
+        """Docs in leaf nodes get the leaf index; unassigned docs are
+        outliers labeled -1 (reference ComputeAssignments, tree.hpp:375)."""
+        self.assignments = np.full(self.total_docs, NONE, dtype=np.int64)
+        self.leaf_doc_count = 0
+        for q, leaf in enumerate(self.is_leaf):
+            if not leaf:
+                continue
+            docs = self.nodes[q].docs
+            self.leaf_doc_count += len(docs)
+            self.assignments[docs] = q
+        self.outliers = np.where(self.assignments == NONE)[0]
+        assert self.leaf_doc_count + len(self.outliers) == self.total_docs
+
+    def flatclust_init_w(self, m: int, k: int) -> np.ndarray:
+        """Leaf topic vectors -> (m, k) W initializer for flat refinement
+        (reference FlatclustInitW, tree.hpp:414-460)."""
+        leaves = [q for q, leaf in enumerate(self.is_leaf) if leaf]
+        if len(leaves) != k:
+            raise ValueError(
+                f"flatclust needs {k} leaves, tree has {len(leaves)}"
+            )
+        W = np.zeros((m, k))
+        for c, q in enumerate(leaves):
+            W[:, c] = self.nodes[q].topic_vector
+        return W
+
+    def write_assignments(self, filepath: str) -> None:
+        """Two-section CSV: labels (-1 for outliers), blank line, outlier
+        indices (reference WriteAssignments, tree.hpp:464-506)."""
+        with open(filepath, "w") as f:
+            f.write(",".join(str(int(a)) for a in self.assignments))
+            f.write("\n\n")
+            if len(self.outliers) > 0:
+                f.write(",".join(str(int(q)) for q in self.outliers))
+                f.write("\n")
+
+    def write_tree(self, writer, filepath: str, dictionary) -> None:
+        """Emit all nodes through a result writer (XML/JSON)."""
+        with open(filepath, "w") as f:
+            writer.write_header(f, self.leaf_doc_count)
+            for q, node in enumerate(self.nodes):
+                writer.write_node(
+                    f,
+                    node_id=q,
+                    parent_id=node.parent_index,
+                    is_left_child=node.is_left_child,
+                    left_child_id=node.left_child_index,
+                    right_child_id=node.right_child_index,
+                    doc_count=0 if node.docs is None else len(node.docs),
+                    term_indices=(
+                        [] if node.term_indices is None
+                        else list(node.term_indices)
+                    ),
+                    dictionary=dictionary,
+                )
+            writer.write_footer(f)

@@ -1,0 +1,202 @@
+"""Hierarchical clustering engine tests.
+
+Reference test model: golden-tree comparison on fixed initializers
+(tests/scripts/test_smallk.sh); here replaced by structural checks on
+synthetic data with planted cluster structure (SURVEY.md §4 implications).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from smallk_tpu.common.options import (
+    ClustOptions,
+    NmfAlgorithm,
+    NmfOptions,
+    NmfProgressAlgorithm,
+)
+from smallk_tpu.common.rng import Random
+from smallk_tpu.engines.hierclust import clust_flat, clust_hier
+from smallk_tpu.engines.priority import compute_priority
+from smallk_tpu.engines.tree import Tree
+
+
+def _planted_matrix(m=60, n=80, k=4, seed=0, noise=0.01):
+    """Block matrix with k planted clusters of docs sharing term blocks."""
+    rng = np.random.RandomState(seed)
+    A = noise * rng.rand(m, n)
+    docs_per = n // k
+    terms_per = m // k
+    labels = np.zeros(n, dtype=int)
+    for c in range(k):
+        cols = slice(c * docs_per, (c + 1) * docs_per if c < k - 1 else n)
+        rows = slice(c * terms_per, (c + 1) * terms_per)
+        A[rows, cols] += 1.0 + rng.rand(
+            rows.stop - rows.start,
+            (cols.stop or n) - cols.start,
+        )
+        labels[cols] = c
+    return A, labels
+
+
+def _clust_opts(k, flat=False, dtype="float64"):
+    return ClustOptions(
+        nmf_opts=NmfOptions(
+            tol=1e-4,
+            algorithm=NmfAlgorithm.RANK2,
+            prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO,
+            height=0, width=0, k=2,
+            min_iter=1, max_iter=5000, verbose=False, dtype=dtype,
+        ),
+        num_clusters=k, verbose=False, flat=flat,
+    )
+
+
+def _purity(assignments, labels):
+    """Fraction of docs in the majority true class of their cluster."""
+    total = 0
+    for c in np.unique(assignments):
+        if c < 0:
+            continue
+        mask = assignments == c
+        counts = np.bincount(labels[mask])
+        total += counts.max()
+    return total / len(labels)
+
+
+class TestClustHier:
+    def test_planted_clusters_recovered(self):
+        A, labels = _planted_matrix(k=4)
+        opts = _clust_opts(4)
+        tree, stats = clust_hier(A, opts, Random(17))
+
+        # 4 leaves, assignments cover all docs (maybe minus outliers)
+        leaves = [q for q, leaf in enumerate(tree.is_leaf) if leaf]
+        assert len(leaves) == 4
+        assert stats.nmf_count >= 7  # root + 2 per split minimum
+
+        a = tree.assignments
+        assigned = a >= 0
+        assert assigned.mean() > 0.9
+        assert _purity(a[assigned], labels[assigned]) > 0.95
+
+    def test_sparse_input(self):
+        A, labels = _planted_matrix(k=3, noise=0.0)
+        A_sp = sp.csc_matrix(A)
+        opts = _clust_opts(3)
+        tree, _ = clust_hier(A_sp, opts, Random(5))
+        a = tree.assignments
+        assigned = a >= 0
+        assert _purity(a[assigned], labels[assigned]) > 0.95
+
+    def test_tree_structure_consistent(self):
+        A, _ = _planted_matrix(k=4)
+        opts = _clust_opts(4)
+        tree, _ = clust_hier(A, opts, Random(3))
+        # every non-root node has a valid parent or is a root child
+        for q, node in enumerate(tree.nodes):
+            if not node.is_valid:
+                continue
+            if node.parent_index >= 0:
+                parent = tree.nodes[node.parent_index]
+                assert q in (
+                    parent.left_child_index, parent.right_child_index
+                )
+            # docs of children partition the parent docs (minus drops)
+            if node.left_child_index >= 0:
+                lc = tree.nodes[node.left_child_index].docs
+                rc = tree.nodes[node.right_child_index].docs
+                merged = np.sort(np.concatenate([lc, rc]))
+                assert len(np.intersect1d(lc, rc)) == 0
+                assert np.isin(merged, node.docs).all()
+
+    def test_determinism(self):
+        A, _ = _planted_matrix(k=3)
+        opts = _clust_opts(3)
+        t1, _ = clust_hier(A, opts, Random(11))
+        t2, _ = clust_hier(A, opts, Random(11))
+        np.testing.assert_array_equal(t1.assignments, t2.assignments)
+
+    def test_initdir_fixed_initializers(self, tmp_path):
+        """Fixed Winit_N/Hinit_N files give deterministic trees
+        (reference determinism hook, clust_hier_generic.hpp:568)."""
+        from smallk_tpu.io.delimited import write_delimited
+
+        A, _ = _planted_matrix(m=30, n=40, k=3)
+        rng = np.random.RandomState(0)
+        for i in range(1, 12):
+            write_delimited(
+                str(tmp_path / f"Winit_{i}.csv"), rng.rand(30, 2), 15
+            )
+            write_delimited(
+                str(tmp_path / f"Hinit_{i}.csv"), rng.rand(2, 40), 15
+            )
+        import dataclasses
+
+        opts = dataclasses.replace(_clust_opts(3), initdir=str(tmp_path))
+        t1, _ = clust_hier(A, opts, Random(1))
+        t2, _ = clust_hier(A, opts, Random(999))  # rng unused with initdir
+        np.testing.assert_array_equal(t1.assignments, t2.assignments)
+
+
+class TestClustFlat:
+    def test_flat_refinement(self):
+        A, labels = _planted_matrix(k=4)
+        opts = _clust_opts(4, flat=True)
+        tree, _ = clust_hier(A, opts, Random(17))
+        W, H, ok = clust_flat(A, tree, opts, Random(17))
+        assert ok
+        assert W.shape == (60, 4) and H.shape == (4, 80)
+        flat_assign = np.argmax(H, axis=0)
+        assert _purity(flat_assign, labels) > 0.9
+
+
+class TestPriority:
+    def test_degenerate_parent(self):
+        w_parent = np.zeros(10)
+        w_child = np.random.RandomState(0).rand(10, 2)
+        assert compute_priority(w_parent, w_child) == -3.0
+
+    def test_identical_children_high_score(self):
+        # children ranked identically to parent -> NDCG product near 1
+        rng = np.random.RandomState(1)
+        w = np.sort(rng.rand(50))[::-1] + 0.1
+        w_child = np.stack([w, w], axis=1)
+        p = compute_priority(w, w_child)
+        assert 0.5 < p <= 1.5
+
+    def test_score_in_range(self):
+        rng = np.random.RandomState(2)
+        for seed in range(5):
+            r = np.random.RandomState(seed)
+            p = compute_priority(r.rand(40), r.rand(40, 2))
+            assert -3 <= p <= 2
+
+
+class TestTreeWriters:
+    def test_write_outputs(self, tmp_path):
+        from smallk_tpu.common.options import OutputFormat
+        from smallk_tpu.io.writers import make_hierclust_writer
+
+        A, _ = _planted_matrix(k=3)
+        opts = _clust_opts(3)
+        tree, _ = clust_hier(A, opts, Random(17))
+
+        apath = str(tmp_path / "assignments_3.csv")
+        tree.write_assignments(apath)
+        first = open(apath).readline().strip().split(",")
+        assert len(first) == 80
+
+        dictionary = [f"term{i}" for i in range(60)]
+        for fmt, name in ((OutputFormat.XML, "tree_3.xml"),
+                          (OutputFormat.JSON, "tree_3.json")):
+            path = str(tmp_path / name)
+            tree.write_tree(make_hierclust_writer(fmt), path, dictionary)
+            content = open(path).read()
+            assert "term" in content
+        # JSON must parse
+        import json
+
+        data = json.loads(open(str(tmp_path / "tree_3.json")).read())
+        assert data["doc_count"] == tree.leaf_doc_count
+        assert len(data["nodes"]) == 4  # 2*(3-1)
