@@ -54,6 +54,8 @@ def main():
     res.W.block_until_ready()
     elapsed = time.perf_counter() - t0
 
+    assert bool(res.success), "benchmark run failed to solve"
+    assert int(res.iterations) == iters, "benchmark must run all iterations"
     its_per_sec = int(res.iterations) / elapsed
     baseline = 22 / 0.633  # reference: 22 iters in 0.633 s
     print(json.dumps({

@@ -88,18 +88,32 @@ class SparseAOp:
         self.r_vals = r_vals
 
     @classmethod
-    def from_scipy(cls, A_csc, dtype=jnp.float32):
+    def from_scipy(cls, A_csc, dtype=jnp.float32, pad_multiple=1024):
         coo = A_csc.tocoo()
         order_c = np.lexsort((coo.row, coo.col))
         order_r = np.lexsort((coo.col, coo.row))
+
+        # Pad the nonzero lists to a multiple of `pad_multiple` with
+        # zero-valued entries at the last row/col id: keeps the lists
+        # sorted, contributes nothing to products, and makes the arrays
+        # shardable across any mesh axis of <= pad_multiple devices.
+        nnz = coo.nnz
+        padded = -(-max(nnz, 1) // pad_multiple) * pad_multiple
+
+        def pad(x, fill):
+            out = np.full(padded, fill, dtype=x.dtype)
+            out[:nnz] = x
+            return out
+
+        m, n = A_csc.shape
         return cls(
             A_csc.shape,
-            jnp.asarray(coo.row[order_c], dtype=jnp.int32),
-            jnp.asarray(coo.col[order_c], dtype=jnp.int32),
-            jnp.asarray(coo.data[order_c], dtype=dtype),
-            jnp.asarray(coo.row[order_r], dtype=jnp.int32),
-            jnp.asarray(coo.col[order_r], dtype=jnp.int32),
-            jnp.asarray(coo.data[order_r], dtype=dtype),
+            jnp.asarray(pad(coo.row[order_c], m - 1), dtype=jnp.int32),
+            jnp.asarray(pad(coo.col[order_c], n - 1), dtype=jnp.int32),
+            jnp.asarray(pad(coo.data[order_c], 0), dtype=dtype),
+            jnp.asarray(pad(coo.row[order_r], m - 1), dtype=jnp.int32),
+            jnp.asarray(pad(coo.col[order_r], n - 1), dtype=jnp.int32),
+            jnp.asarray(pad(coo.data[order_r], 0), dtype=dtype),
         )
 
     @property

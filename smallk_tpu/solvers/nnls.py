@@ -83,15 +83,26 @@ def nnls_blockpivot(LHS, RHS, Xinit):
     k, n = RHS.shape
     max_iter = 5 * k
     row_ids = jnp.arange(k, dtype=jnp.int32)[:, None]  # (k, 1)
-
-    # Small-value threshold.  The reference zeroizes |x| < 1e-12 (nnls.hpp:
-    # 215,226-227) — an absolute threshold tuned for f64.  Scaled by dtype
-    # eps and problem magnitude (8*eps*max|RHS| ~ 1e-13 for typical f64
-    # problems, ~1e-5 for f32) it cleans true roundoff noise in either
-    # precision without perturbing Y = LHS X - RHS beyond the noise floor
-    # (an over-large threshold shifts Y materially and cycles the pivots).
     eps = jnp.finfo(RHS.dtype).eps
-    zthresh = 8.0 * eps * jnp.maximum(1.0, jnp.max(jnp.abs(RHS)))
+
+    # Sign-test tolerances.  The reference zeroizes |x| < 1e-12 (nnls.hpp:
+    # 215,226-227) so that f64 roundoff never flips an optimality test.  In
+    # f32 the honest noise floors are much larger — for X the masked-solve
+    # forward error ~ eps*kappa*|X|, and for Y = LHS X - RHS the residual
+    # rounding ~ eps*(k*|LHS|*|X| + |RHS|) — and *modifying* values at
+    # those magnitudes corrupts Y through the next matmul (empirically:
+    # pivot cycling).  So instead of zeroizing, the optimality tests treat
+    # anything above -delta as nonnegative; values are never altered, and
+    # the final X is clamped at 0 (projection error <= delta_x).  For f64
+    # the deltas collapse to ~1e-12, reproducing reference behavior.
+    scale_lhs = jnp.max(jnp.abs(LHS))
+    scale_rhs = jnp.maximum(1.0, jnp.max(jnp.abs(RHS)))
+
+    def deltas(X):
+        xmax = jnp.maximum(1.0, jnp.max(jnp.abs(X)))
+        dx = 512.0 * eps * xmax
+        dy = 16.0 * eps * (k * scale_lhs * xmax + scale_rhs)
+        return dx, dy
 
     passive = Xinit > 0
     X = _masked_cholesky_solve(LHS, RHS, passive)
@@ -100,9 +111,12 @@ def nnls_blockpivot(LHS, RHS, Xinit):
     P = jnp.full((n,), PBAR, dtype=jnp.int32)
     Ninf = jnp.full((n,), k + 1, dtype=jnp.int32)
 
-    nonopt = (Y < 0) & ~passive
-    infeas = (X < 0) & passive
-    not_good = (jnp.sum(nonopt, axis=0) + jnp.sum(infeas, axis=0)).astype(jnp.int32)
+    dx, dy = deltas(X)
+    nonopt = (Y < -dy) & ~passive
+    infeas = (X < -dx) & passive
+    not_good = (
+        jnp.sum(nonopt, axis=0) + jnp.sum(infeas, axis=0)
+    ).astype(jnp.int32)
 
     def cond(carry):
         X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
@@ -133,16 +147,18 @@ def nnls_blockpivot(LHS, RHS, Xinit):
 
         # --- solve the non-optimal columns with the updated passive sets ---
         Xs = _masked_cholesky_solve(LHS, RHS, passive)
-        Xs = zeroize_small(Xs, zthresh)
         Ys = gemm(LHS, Xs) - RHS
         mask = notopt_col[None, :]
-        X = zeroize_small(jnp.where(mask, Xs, X), zthresh)
-        Y = zeroize_small(jnp.where(mask, Ys, Y), zthresh)
+        X = jnp.where(mask, Xs, X)
+        Y = jnp.where(mask, Ys, Y)
 
-        # --- BppUpdateSets (nnls.hpp:43-140) ---
-        nonopt = mask & (Y < 0) & ~passive
-        infeas = mask & (X < 0) & passive
-        not_good = (jnp.sum(nonopt, axis=0) + jnp.sum(infeas, axis=0)).astype(jnp.int32)
+        # --- BppUpdateSets (nnls.hpp:43-140), tolerance-based ---
+        dx, dy = deltas(X)
+        nonopt = mask & (Y < -dy) & ~passive
+        infeas = mask & (X < -dx) & passive
+        not_good = (
+            jnp.sum(nonopt, axis=0) + jnp.sum(infeas, axis=0)
+        ).astype(jnp.int32)
         return (X, Y, passive, P, Ninf, nonopt, infeas, not_good, it + 1)
 
     carry = (X, Y, passive, P, Ninf, nonopt, infeas, not_good,
@@ -153,6 +169,9 @@ def nnls_blockpivot(LHS, RHS, Xinit):
 
     converged = jnp.logical_not(jnp.any(not_good > 0))
     no_nan = jnp.logical_not(jnp.any(jnp.isnan(X)) | jnp.any(jnp.isnan(Y)))
+    # project tiny tolerated negatives onto the constraint set
+    X = jnp.maximum(X, 0.0)
+    X = zeroize_small(X, 8.0 * eps * scale_rhs)
     return X, Y, converged & no_nan
 
 

@@ -1,0 +1,123 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates that the sharded solve (GSPMD over the terms x docs mesh,
+SURVEY.md §5.8) matches the single-device result bit-for-bit-ish and that
+all mesh shapes compile and execute.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
+from smallk_tpu.common.rng import Random, random_matrix
+from smallk_tpu.ops.aop import DenseAOp, SparseAOp
+from smallk_tpu.parallel.mesh import (
+    make_mesh,
+    nmf_shardings,
+    shard_operand,
+    sharded_nmf_solve,
+)
+from smallk_tpu.solvers.solve import nmf_solve
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _problem(m=64, n=48, k=4, seed=0, alg=NmfAlgorithm.BPP):
+    rng = Random(seed)
+    A = np.abs(random_matrix(m, n, rng))
+    W0 = random_matrix(m, k, rng)
+    H0 = random_matrix(k, n, rng)
+    opts = NmfOptions(
+        tol=1e-4, algorithm=alg, height=m, width=n, k=k,
+        min_iter=2, max_iter=50, verbose=False, dtype="float64",
+    )
+    return A, W0, H0, opts
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1), (4, 2)])
+def test_sharded_matches_single_device(mesh_shape):
+    A, W0, H0, opts = _problem()
+    a_op = DenseAOp(jnp.asarray(A))
+    W0j, H0j = jnp.asarray(W0), jnp.asarray(H0)
+
+    ref = nmf_solve(a_op, W0j, H0j, opts)
+
+    mesh = make_mesh(mesh_shape)
+    out = sharded_nmf_solve(a_op, W0j, H0j, opts, mesh)
+
+    assert int(out.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(out.W), np.asarray(ref.W), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.H), np.asarray(ref.H), rtol=1e-10, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize(
+    "alg", [NmfAlgorithm.MU, NmfAlgorithm.HALS, NmfAlgorithm.BPP]
+)
+def test_all_algorithms_shard(alg):
+    A, W0, H0, opts = _problem(alg=alg)
+    mesh = make_mesh((2, 4))
+    out = sharded_nmf_solve(
+        DenseAOp(jnp.asarray(A)), jnp.asarray(W0), jnp.asarray(H0),
+        opts, mesh,
+    )
+    assert bool(out.success)
+    assert not np.isnan(np.asarray(out.W)).any()
+
+
+def test_rank2_shards():
+    A, W0, H0, opts = _problem(k=2, alg=NmfAlgorithm.RANK2)
+    mesh = make_mesh((2, 4))
+    out = sharded_nmf_solve(
+        DenseAOp(jnp.asarray(A)), jnp.asarray(W0), jnp.asarray(H0),
+        opts, mesh,
+    )
+    assert bool(out.success)
+
+
+def test_sparse_operand_shards():
+    import scipy.sparse as sp
+
+    rng = np.random.RandomState(0)
+    A = sp.random(64, 48, density=0.2, random_state=rng, format="csc")
+    a_sp = SparseAOp.from_scipy(A, jnp.float64)
+    W0 = random_matrix(64, 4, Random(1))
+    H0 = random_matrix(4, 48, Random(2))
+    opts = NmfOptions(
+        tol=1e-4, algorithm=NmfAlgorithm.MU, height=64, width=48, k=4,
+        min_iter=2, max_iter=30, verbose=False, dtype="float64",
+    )
+    ref = nmf_solve(a_sp, jnp.asarray(W0), jnp.asarray(H0), opts)
+    mesh = make_mesh((1, 8))
+    out = sharded_nmf_solve(a_sp, jnp.asarray(W0), jnp.asarray(H0),
+                            opts, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out.W), np.asarray(ref.W), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_shardings_layout():
+    mesh = make_mesh((2, 4))
+    a_sh, w_sh, h_sh = nmf_shardings(mesh)
+    A = jnp.zeros((16, 16))
+    placed = jax.device_put(A, a_sh)
+    # A is split over both axes: each shard is (8, 4)
+    shard_shape = placed.addressable_shards[0].data.shape
+    assert shard_shape == (8, 4)
+
+
+def test_shard_operand_dense():
+    mesh = make_mesh((2, 4))
+    op = DenseAOp(jnp.ones((16, 16)))
+    sharded = shard_operand(op, mesh)
+    assert sharded.A.sharding.is_equivalent_to(
+        nmf_shardings(mesh)[0], ndim=2
+    )
