@@ -1,0 +1,274 @@
+// smallk_tpu native host-side accelerators.
+//
+// The reference implements its entire IO and preprocessing stack in C++
+// (common/src/matrix_market_file.cpp, common/src/delimited_file.cpp,
+// preprocessor/src/preprocess.cpp with SpookyHash column dedup).  This
+// extension provides the same native speed for the Python framework's
+// host-side hot paths:
+//   - parse_mtx_body:   MatrixMarket coordinate body -> COO arrays
+//   - format_mtx_body:  COO arrays -> MatrixMarket body text
+//   - unique_cols_mask: duplicate-column detection on CSC buffers
+//     (reference UniqueCols semantics: max-index survivor per group)
+//
+// Built with setuptools (native/setup.py); smallk_tpu falls back to pure
+// Python when the extension is absent.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// --------------------------------------------------------------------------
+// parse_mtx_body(data: bytes, nnz: int, has_values: bool)
+//   -> (rows int64[nnz], cols int64[nnz], vals float64[nnz])
+// Entries are 1-based in the file; returned 0-based.
+// --------------------------------------------------------------------------
+PyObject* parse_mtx_body(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  Py_ssize_t nnz;
+  int has_values;
+  if (!PyArg_ParseTuple(args, "y*np", &buf, &nnz, &has_values)) {
+    return nullptr;
+  }
+
+  npy_intp dims[1] = {static_cast<npy_intp>(nnz)};
+  PyObject* rows_arr = PyArray_SimpleNew(1, dims, NPY_INT64);
+  PyObject* cols_arr = PyArray_SimpleNew(1, dims, NPY_INT64);
+  PyObject* vals_arr = PyArray_SimpleNew(1, dims, NPY_FLOAT64);
+  if (!rows_arr || !cols_arr || !vals_arr) {
+    Py_XDECREF(rows_arr);
+    Py_XDECREF(cols_arr);
+    Py_XDECREF(vals_arr);
+    PyBuffer_Release(&buf);
+    return nullptr;
+  }
+  int64_t* rows =
+      static_cast<int64_t*>(PyArray_DATA((PyArrayObject*)rows_arr));
+  int64_t* cols =
+      static_cast<int64_t*>(PyArray_DATA((PyArrayObject*)cols_arr));
+  double* vals =
+      static_cast<double*>(PyArray_DATA((PyArrayObject*)vals_arr));
+
+  const char* p = static_cast<const char*>(buf.buf);
+  const char* end = p + buf.len;
+  Py_ssize_t count = 0;
+  bool error = false;
+
+  Py_BEGIN_ALLOW_THREADS
+  while (count < nnz && p < end) {
+    // skip whitespace/newlines
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+      ++p;
+    if (p >= end) break;
+    if (*p == '%') {  // comment line
+      while (p < end && *p != '\n') ++p;
+      continue;
+    }
+    char* next = nullptr;
+    long long r = strtoll(p, &next, 10);
+    if (next == p) { error = true; break; }
+    p = next;
+    long long c = strtoll(p, &next, 10);
+    if (next == p) { error = true; break; }
+    p = next;
+    double v = 1.0;
+    if (has_values) {
+      v = strtod(p, &next);
+      if (next == p) { error = true; break; }
+      p = next;
+    }
+    rows[count] = r - 1;
+    cols[count] = c - 1;
+    vals[count] = v;
+    ++count;
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&buf);
+  if (error || count != nnz) {
+    Py_DECREF(rows_arr);
+    Py_DECREF(cols_arr);
+    Py_DECREF(vals_arr);
+    PyErr_Format(PyExc_ValueError,
+                 "mtx body parse error: expected %zd entries, parsed %zd",
+                 nnz, count);
+    return nullptr;
+  }
+  return Py_BuildValue("(NNN)", rows_arr, cols_arr, vals_arr);
+}
+
+// --------------------------------------------------------------------------
+// format_mtx_body(rows int64[], cols int64[], vals float64[], precision)
+//   -> bytes   ("r c v\n" per entry, 1-based, %.{p}g)
+// --------------------------------------------------------------------------
+PyObject* format_mtx_body(PyObject*, PyObject* args) {
+  PyObject *rows_o, *cols_o, *vals_o;
+  int precision;
+  if (!PyArg_ParseTuple(args, "OOOi", &rows_o, &cols_o, &vals_o,
+                        &precision)) {
+    return nullptr;
+  }
+  PyArrayObject* rows = (PyArrayObject*)PyArray_FROM_OTF(
+      rows_o, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* cols = (PyArrayObject*)PyArray_FROM_OTF(
+      cols_o, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* vals = (PyArrayObject*)PyArray_FROM_OTF(
+      vals_o, NPY_FLOAT64, NPY_ARRAY_IN_ARRAY);
+  if (!rows || !cols || !vals) {
+    Py_XDECREF(rows);
+    Py_XDECREF(cols);
+    Py_XDECREF(vals);
+    return nullptr;
+  }
+  npy_intp n = PyArray_DIM(rows, 0);
+  const int64_t* r = static_cast<const int64_t*>(PyArray_DATA(rows));
+  const int64_t* c = static_cast<const int64_t*>(PyArray_DATA(cols));
+  const double* v = static_cast<const double*>(PyArray_DATA(vals));
+
+  std::string out;
+  Py_BEGIN_ALLOW_THREADS
+  out.reserve(static_cast<size_t>(n) * 24);
+  char line[96];
+  char fmt[24];
+  snprintf(fmt, sizeof(fmt), "%%lld %%lld %%.%dg\n", precision);
+  for (npy_intp i = 0; i < n; ++i) {
+    int len = snprintf(line, sizeof(line), fmt,
+                       static_cast<long long>(r[i] + 1),
+                       static_cast<long long>(c[i] + 1), v[i]);
+    out.append(line, len);
+  }
+  Py_END_ALLOW_THREADS
+
+  PyObject* result = PyBytes_FromStringAndSize(out.data(), out.size());
+  Py_DECREF(rows);
+  Py_DECREF(cols);
+  Py_DECREF(vals);
+  return result;
+}
+
+// FNV-1a 64-bit over a byte range (reference used SpookyHash-64; any
+// well-mixed 64-bit hash works — collisions are resolved exactly below).
+static inline uint64_t fnv1a(const unsigned char* data, size_t len,
+                             uint64_t h = 1469598103934665603ull) {
+  for (size_t i = 0; i < len; ++i) {
+    h ^= data[i];
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
+// --------------------------------------------------------------------------
+// unique_cols_mask(indptr int64[n+1], indices int32[nnz], data float64[nnz])
+//   -> bool[n]  (True = column survives dedup; max-index survivor)
+// --------------------------------------------------------------------------
+PyObject* unique_cols_mask(PyObject*, PyObject* args) {
+  PyObject *indptr_o, *indices_o, *data_o;
+  if (!PyArg_ParseTuple(args, "OOO", &indptr_o, &indices_o, &data_o)) {
+    return nullptr;
+  }
+  PyArrayObject* indptr = (PyArrayObject*)PyArray_FROM_OTF(
+      indptr_o, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* indices = (PyArrayObject*)PyArray_FROM_OTF(
+      indices_o, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* data = (PyArrayObject*)PyArray_FROM_OTF(
+      data_o, NPY_FLOAT64, NPY_ARRAY_IN_ARRAY);
+  if (!indptr || !indices || !data) {
+    Py_XDECREF(indptr);
+    Py_XDECREF(indices);
+    Py_XDECREF(data);
+    return nullptr;
+  }
+  npy_intp n = PyArray_DIM(indptr, 0) - 1;
+  const int64_t* ip = static_cast<const int64_t*>(PyArray_DATA(indptr));
+  const int64_t* ix = static_cast<const int64_t*>(PyArray_DATA(indices));
+  const double* dv = static_cast<const double*>(PyArray_DATA(data));
+
+  npy_intp dims[1] = {n};
+  PyObject* mask_arr = PyArray_SimpleNew(1, dims, NPY_BOOL);
+  if (!mask_arr) {
+    Py_DECREF(indptr);
+    Py_DECREF(indices);
+    Py_DECREF(data);
+    return nullptr;
+  }
+  npy_bool* mask =
+      static_cast<npy_bool*>(PyArray_DATA((PyArrayObject*)mask_arr));
+
+  Py_BEGIN_ALLOW_THREADS
+  // hash -> representative column (max index seen); exact comparison on
+  // hash match to resolve collisions, as in the reference
+  // (preprocess.cpp:631-724)
+  std::unordered_map<uint64_t, std::vector<int64_t>> groups;
+  groups.reserve(static_cast<size_t>(n) * 2);
+  std::vector<int64_t> survivor(n);
+  for (npy_intp j = 0; j < n; ++j) {
+    int64_t lo = ip[j], hi = ip[j + 1];
+    uint64_t h = fnv1a(
+        reinterpret_cast<const unsigned char*>(ix + lo),
+        static_cast<size_t>(hi - lo) * sizeof(int64_t));
+    h = fnv1a(reinterpret_cast<const unsigned char*>(dv + lo),
+              static_cast<size_t>(hi - lo) * sizeof(double), h);
+    h ^= static_cast<uint64_t>(hi - lo) * 0x9e3779b97f4a7c15ull;
+    groups[h].push_back(j);
+  }
+  for (npy_intp j = 0; j < n; ++j) mask[j] = NPY_TRUE;
+  for (auto& kv : groups) {
+    auto& cols = kv.second;
+    if (cols.size() < 2) continue;
+    // exact-compare within the bucket; later identical col wins
+    for (size_t a = 0; a < cols.size(); ++a) {
+      if (!mask[cols[a]]) continue;
+      for (size_t b = a + 1; b < cols.size(); ++b) {
+        if (!mask[cols[b]]) continue;
+        int64_t ja = cols[a], jb = cols[b];
+        int64_t la = ip[ja + 1] - ip[ja], lb = ip[jb + 1] - ip[jb];
+        if (la != lb) continue;
+        if (memcmp(ix + ip[ja], ix + ip[jb], la * sizeof(int64_t)) != 0)
+          continue;
+        if (memcmp(dv + ip[ja], dv + ip[jb], la * sizeof(double)) != 0)
+          continue;
+        // identical: keep the larger index (jb > ja since insertion order)
+        mask[ja] = NPY_FALSE;
+        break;
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  Py_DECREF(indptr);
+  Py_DECREF(indices);
+  Py_DECREF(data);
+  return mask_arr;
+}
+
+PyMethodDef methods[] = {
+    {"parse_mtx_body", parse_mtx_body, METH_VARARGS,
+     "Parse MatrixMarket coordinate body text into COO arrays."},
+    {"format_mtx_body", format_mtx_body, METH_VARARGS,
+     "Format COO arrays as MatrixMarket coordinate body text."},
+    {"unique_cols_mask", unique_cols_mask, METH_VARARGS,
+     "Duplicate-column survivor mask for a CSC matrix."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_native",
+    "smallk_tpu native host-side accelerators", -1, methods,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__native(void) {
+  import_array();
+  return PyModule_Create(&moduledef);
+}

@@ -26,6 +26,11 @@ import dataclasses
 import numpy as np
 import scipy.sparse as sp
 
+try:  # native C++ fast path for column dedup (built via native/setup.py)
+    from ..native import _native
+except ImportError:  # pragma: no cover
+    _native = None
+
 
 @dataclasses.dataclass
 class PreprocessResult:
@@ -44,6 +49,15 @@ def _unique_col_mask(M: sp.csc_matrix) -> np.ndarray:
     """
     n = M.shape[1]
     indptr, indices, data = M.indptr, M.indices, M.data
+    if _native is not None:
+        return np.asarray(
+            _native.unique_cols_mask(
+                np.asarray(indptr, np.int64),
+                np.asarray(indices, np.int64),
+                np.asarray(data, np.float64),
+            ),
+            dtype=bool,
+        )
     seen: dict[bytes, int] = {}
     for c in range(n):
         lo, hi = indptr[c], indptr[c + 1]

@@ -15,6 +15,11 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
+try:  # native C++ fast path (built via native/setup.py)
+    from ..native import _native
+except ImportError:  # pragma: no cover - environment without the extension
+    _native = None
+
 
 class MatrixMarketError(ValueError):
     pass
@@ -55,19 +60,28 @@ def load_matrix_market(filename: str, dtype=np.float64) -> sp.csc_matrix:
             if len(size_parts) != 3:
                 raise MatrixMarketError("bad coordinate size line")
             m, n, nnz = (int(p) for p in size_parts)
-            body = np.loadtxt(f, ndmin=2, dtype=np.float64)
-            if body.size == 0:
-                body = body.reshape(0, 3 if field != "pattern" else 2)
-            if body.shape[0] != nnz:
-                raise MatrixMarketError(
-                    f"expected {nnz} entries, found {body.shape[0]}"
+            has_values = field != "pattern"
+            if _native is not None:
+                rows, cols, vals = _native.parse_mtx_body(
+                    f.read(), nnz, has_values
                 )
-            rows = body[:, 0].astype(np.int64) - 1
-            cols = body[:, 1].astype(np.int64) - 1
-            if field == "pattern":
-                vals = np.ones(nnz, dtype=dtype)
+                vals = vals.astype(dtype, copy=False)
+                if not has_values:
+                    vals = np.ones(nnz, dtype=dtype)
             else:
-                vals = body[:, 2].astype(dtype)
+                body = np.loadtxt(f, ndmin=2, dtype=np.float64)
+                if body.size == 0:
+                    body = body.reshape(0, 3 if has_values else 2)
+                if body.shape[0] != nnz:
+                    raise MatrixMarketError(
+                        f"expected {nnz} entries, found {body.shape[0]}"
+                    )
+                rows = body[:, 0].astype(np.int64) - 1
+                cols = body[:, 1].astype(np.int64) - 1
+                if field == "pattern":
+                    vals = np.ones(nnz, dtype=dtype)
+                else:
+                    vals = body[:, 2].astype(dtype)
         else:  # array (dense, column-major)
             if len(size_parts) != 2:
                 raise MatrixMarketError("bad array size line")
@@ -120,6 +134,12 @@ def write_matrix_market(
             for c in comment.splitlines():
                 f.write(f"%{c}\n")
         f.write(f"{m} {n} {csc.nnz}\n")
-        fmt = f"%d %d %.{precision}g\n"
-        for r, c, v in zip(rows, cols, vals):
-            f.write(fmt % (r, c, v))
+        if _native is not None:
+            body = _native.format_mtx_body(
+                rows - 1, cols - 1, np.asarray(vals, np.float64), precision
+            )
+            f.write(body.decode("ascii"))
+        else:
+            fmt = f"%d %d %.{precision}g\n"
+            for r, c, v in zip(rows, cols, vals):
+                f.write(fmt % (r, c, v))

@@ -1,0 +1,155 @@
+"""Tests for the scoring harness and checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from smallk_tpu.common.checkpoint import (
+    load_nmf_checkpoint,
+    run_nmf_with_checkpointing,
+    save_nmf_checkpoint,
+)
+from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
+from smallk_tpu.common.rng import Random, random_matrix
+from smallk_tpu.engines.scoring import (
+    best_match_f1,
+    membership_to_labels,
+    nmi,
+    pairwise_f1,
+    score_clustering,
+)
+
+
+class TestScoring:
+    def test_nmi_perfect(self):
+        labels = np.array([0, 0, 1, 1, 2, 2])
+        assert nmi(labels, labels) == pytest.approx(1.0)
+        # permuted labels still perfect
+        perm = np.array([2, 2, 0, 0, 1, 1])
+        assert nmi(labels, perm) == pytest.approx(1.0)
+
+    def test_nmi_independent(self):
+        rng = np.random.RandomState(0)
+        a = rng.randint(0, 4, 8000)
+        b = rng.randint(0, 4, 8000)
+        assert nmi(a, b) < 0.02
+
+    def test_pairwise_f1_perfect(self):
+        labels = np.array([0, 0, 1, 1, 1, 2])
+        assert pairwise_f1(labels, labels) == pytest.approx(1.0)
+
+    def test_best_match_f1(self):
+        true = np.array([0, 0, 0, 1, 1, 1])
+        pred = np.array([1, 1, 1, 0, 0, 0])
+        assert best_match_f1(pred, true) == pytest.approx(1.0)
+        pred2 = np.array([0, 0, 1, 1, 1, 1])  # one node misplaced
+        assert 0.5 < best_match_f1(pred2, true) < 1.0
+
+    def test_unassigned_ignored(self):
+        a = np.array([0, 0, 1, 1, -1])
+        b = np.array([0, 0, 1, 1, 1])
+        assert nmi(a, b) == pytest.approx(1.0)
+
+    def test_membership_matrix(self):
+        M = sp.csr_matrix(np.array([
+            [1, 0], [1, 0], [0, 1], [0, 0],
+        ]))
+        labels = membership_to_labels(M)
+        np.testing.assert_array_equal(labels, [0, 0, 1, -1])
+
+    def test_score_clustering_report(self):
+        true_m = np.zeros((6, 2))
+        true_m[:3, 0] = 1
+        true_m[3:, 1] = 1
+        pred = np.array([0, 0, 0, 1, 1, 1])
+        report = score_clustering(pred, true_m)
+        assert report["nmi"] == pytest.approx(1.0)
+        assert report["pairwise_f1"] == pytest.approx(1.0)
+        assert report["best_match_f1"] == pytest.approx(1.0)
+
+    def test_planted_community_recovery(self):
+        """End-to-end: SymNMF-style hierclust on a planted-partition graph
+        recovers communities (the dblp15 workflow, BASELINE config 3)."""
+        from smallk_tpu.common.options import (
+            ClustOptions, NmfProgressAlgorithm,
+        )
+        from smallk_tpu.engines.hierclust import clust_hier
+
+        rng = np.random.RandomState(0)
+        nodes, kc = 90, 3
+        labels_true = np.repeat(np.arange(kc), nodes // kc)
+        P_in, p_out = 0.45, 0.01
+        adj = (rng.rand(nodes, nodes) < p_out).astype(float)
+        for c in range(kc):
+            blk = labels_true == c
+            sub = rng.rand(blk.sum(), blk.sum()) < P_in
+            adj[np.ix_(blk, blk)] = sub
+        adj = np.triu(adj, 1)
+        adj = adj + adj.T  # symmetric, zero diagonal
+
+        opts = ClustOptions(
+            nmf_opts=NmfOptions(
+                tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+                prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+                min_iter=1, max_iter=5000, verbose=False, dtype="float64",
+            ),
+            num_clusters=kc, verbose=False,
+        )
+        tree, _ = clust_hier(sp.csc_matrix(adj), opts, Random(5))
+        report = score_clustering(tree.assignments, labels_true)
+        assert report["nmi"] > 0.8
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        path = str(tmp_path / "ck.npz")
+        rng = Random(3)
+        rng.uniform(10)  # advance state
+        W = np.random.RandomState(0).rand(8, 3)
+        H = np.random.RandomState(1).rand(3, 6)
+        opts = NmfOptions(height=8, width=6, k=3)
+        save_nmf_checkpoint(path, W, H, 42, rng=rng, opts=opts)
+        ck = load_nmf_checkpoint(path, opts)
+        np.testing.assert_array_equal(ck["W"], W)
+        np.testing.assert_array_equal(ck["H"], H)
+        assert ck["iteration"] == 42
+        # restored RNG continues the same stream
+        a = ck["rng"].uniform(5)
+        b = rng.uniform(5)
+        np.testing.assert_array_equal(a, b)
+
+    def test_options_mismatch_detected(self, tmp_path):
+        path = str(tmp_path / "ck.npz")
+        opts = NmfOptions(height=8, width=6, k=3)
+        save_nmf_checkpoint(path, np.zeros((8, 3)), np.zeros((3, 6)), 1,
+                            opts=opts)
+        other = NmfOptions(height=8, width=6, k=4)
+        with pytest.raises(ValueError):
+            load_nmf_checkpoint(path, other)
+
+    def test_chunked_run_resumes(self, tmp_path):
+        path = str(tmp_path / "run.npz")
+        rng = Random(5)
+        m, n, k = 30, 24, 4
+        A = np.abs(random_matrix(m, n, rng))
+        W0 = random_matrix(m, k, rng)
+        H0 = random_matrix(k, n, rng)
+        opts = NmfOptions(
+            tol=1e-9, algorithm=NmfAlgorithm.MU, height=m, width=n, k=k,
+            min_iter=1, max_iter=60, verbose=False, dtype="float64",
+        )
+        # run 2 segments then simulate preemption by rerunning
+        W1, H1, it1, ok1 = run_nmf_with_checkpointing(
+            A, W0, H0, opts, path, checkpoint_every=20,
+        )
+        assert it1 == 60 and ok1
+        assert os.path.exists(path)
+
+        # resume from the finished checkpoint: no more work to do
+        W2, H2, it2, ok2 = run_nmf_with_checkpointing(
+            A, W0, H0, opts, path, checkpoint_every=20,
+        )
+        assert it2 == 60
+        np.testing.assert_array_equal(W1, W2)
