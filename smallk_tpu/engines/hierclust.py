@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..common.options import ClustOptions, ClustStats, NmfStats
 from ..common.rng import Random, random_matrix
 from ..io.delimited import load_delimited
-from ..ops.aop import MaskedAOp, as_aop
+from ..ops.aop import DenseAOp, MaskedAOp, as_aop
 from ..solvers.solve import nmf_solve
 from .priority import compute_priority
 from .tree import Tree
@@ -65,8 +65,31 @@ class _InitializerSource:
         return W, H
 
 
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p
+
+
+_MIN_BUCKET = 512
+
+
 class _Rank2Runner:
-    """Runs masked rank-2 factorizations on device with retry ladder."""
+    """Runs per-node rank-2 factorizations on device with retry ladder.
+
+    TPU shape strategy: a node's column subset is factored on a
+    power-of-2-bucketed slice of A gathered ON DEVICE (A columns at the
+    subset indices, zero-padded to the bucket width).  This restores the
+    reference's cost scaling — deep (small) nodes are cheap — while
+    compiling only one solve loop per bucket width and never shipping
+    matrix data back through the host (the reference instead extracts
+    compacted host submatrices per node, clust_hier_generic.hpp:424).
+    Zero pad columns are mathematically identical to the reference's
+    removed columns for every solver quantity.  Subsets wider than half
+    of A (and all sparse operands) use the column-mask formulation on the
+    full shape instead.
+    """
 
     def __init__(self, a_op, opts: ClustOptions, inits: _InitializerSource,
                  stats: ClustStats, dtype):
@@ -77,6 +100,18 @@ class _Rank2Runner:
         self.dtype = dtype
         m, n = a_op.shape
         self.m, self.n = m, n
+        self._A_ext = None  # dense A with one trailing zero column
+        if isinstance(a_op, DenseAOp):
+            self._A_ext = jnp.concatenate(
+                [a_op.A, jnp.zeros((m, 1), a_op.A.dtype)], axis=1
+            )
+
+    def _gathered_op(self, subset, n_b):
+        """DenseAOp over A[:, subset] zero-padded to n_b columns."""
+        idx = np.full(n_b, self.n, dtype=np.int32)  # pad -> zero column
+        idx[: len(subset)] = subset
+        cols = jnp.take(self._A_ext, jnp.asarray(idx), axis=1)
+        return DenseAOp(cols)
 
     def solve(self, subset=None, max_attempts=3):
         """Factor A[:, subset] (full A when subset is None).
@@ -86,15 +121,25 @@ class _Rank2Runner:
         (singular system), mirroring clust_hier_generic.hpp:123-151,435-472.
         """
         nmf_opts = self.opts.nmf_opts
+        bucket = None
         if subset is None:
             a_op = self.a_op
         else:
-            mask = np.zeros(self.n, dtype=self.dtype)
-            mask[subset] = 1.0
-            a_op = MaskedAOp(self.a_op, jnp.asarray(mask))
+            n_b = max(_MIN_BUCKET, _next_pow2(len(subset)))
+            if self._A_ext is not None and n_b < self.n:
+                bucket = n_b
+                a_op = self._gathered_op(subset, n_b)
+            else:
+                mask = np.zeros(self.n, dtype=self.dtype)
+                mask[subset] = 1.0
+                a_op = MaskedAOp(self.a_op, jnp.asarray(mask))
 
         for _ in range(max_attempts):
             W0, H0 = self.inits.next()
+            if bucket is not None:
+                H0b = np.zeros((2, bucket), dtype=H0.dtype)
+                H0b[:, : len(subset)] = H0[:, subset]
+                H0 = H0b
             res = nmf_solve(
                 a_op,
                 jnp.asarray(W0, self.dtype),
@@ -107,7 +152,12 @@ class _Rank2Runner:
                     self.stats.max_count += 1
                 W = np.asarray(res.W)
                 H = np.asarray(res.H)
-                H_out = H if subset is None else H[:, subset]
+                if subset is None:
+                    H_out = H
+                elif bucket is not None:
+                    H_out = H[:, : len(subset)]
+                else:
+                    H_out = H[:, subset]
                 return W, H_out, True
             if self.opts.verbose:
                 print("\nNode factorization failed, retrying with new "

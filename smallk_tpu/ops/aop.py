@@ -220,6 +220,16 @@ def as_aop(A, dtype=jnp.float32, densify_threshold_bytes=2 << 30):
         m, n = A.shape
         itemsize = jnp.dtype(dtype).itemsize
         if m * n * itemsize <= densify_threshold_bytes:
-            return DenseAOp(jnp.asarray(A.toarray(), dtype=dtype))
+            # Densify ON DEVICE from the COO triplets: the host->device
+            # transfer is proportional to nnz, not m*n (the dense image is
+            # built by one scatter-add on the chip; duplicates sum, same
+            # as the reference's triplet compression).
+            coo = A.tocoo()
+            dense = (
+                jnp.zeros((m, n), dtype)
+                .at[jnp.asarray(coo.row), jnp.asarray(coo.col)]
+                .add(jnp.asarray(coo.data, dtype=dtype))
+            )
+            return DenseAOp(dense)
         return SparseAOp.from_scipy(A.tocsc(), dtype=dtype)
     return DenseAOp(jnp.asarray(np.asarray(A), dtype=dtype))
