@@ -28,6 +28,25 @@ from ..ops.dense import gemm, zeroize_small
 
 PBAR = 3
 
+# Masked-solve backend: "xla" (default; fuses well inside the pivot
+# while_loop) or "pallas" (VMEM-resident kernel, solvers/pallas_kernels.py).
+MASKED_SOLVER = "xla"
+
+
+def set_masked_solver(name: str) -> None:
+    global MASKED_SOLVER
+    if name not in ("xla", "pallas"):
+        raise ValueError("masked solver must be 'xla' or 'pallas'")
+    MASKED_SOLVER = name
+
+
+def _masked_solve(LHS, RHS, passive):
+    if MASKED_SOLVER == "pallas":
+        from .pallas_kernels import masked_gj_solve_pallas
+
+        return masked_gj_solve_pallas(LHS, RHS, passive)
+    return _masked_cholesky_solve(LHS, RHS, passive)
+
 
 def _masked_cholesky_solve(LHS, RHS, passive):
     """Batched masked SPD solve.
@@ -105,7 +124,7 @@ def nnls_blockpivot(LHS, RHS, Xinit):
         return dx, dy
 
     passive = Xinit > 0
-    X = _masked_cholesky_solve(LHS, RHS, passive)
+    X = _masked_solve(LHS, RHS, passive)
     Y = gemm(LHS, X) - RHS
 
     P = jnp.full((n,), PBAR, dtype=jnp.int32)
@@ -146,7 +165,7 @@ def nnls_blockpivot(LHS, RHS, Xinit):
         passive = passive ^ toggle
 
         # --- solve the non-optimal columns with the updated passive sets ---
-        Xs = _masked_cholesky_solve(LHS, RHS, passive)
+        Xs = _masked_solve(LHS, RHS, passive)
         Ys = gemm(LHS, Xs) - RHS
         mask = notopt_col[None, :]
         X = jnp.where(mask, Xs, X)

@@ -96,10 +96,17 @@ def nmf_solve(a_op, W0, H0, opts: NmfOptions) -> SolveResult:
         done = done | (check & (sc >= opts.tolcount))
 
         if opts.verbose:
-            jax.debug.print(
-                "{it}:\tprogress metric:\t{m}", it=it + 1, m=metric,
-                ordered=False,
-            )
+            # reference cadence: iterations 1-9, then every 10th
+            # (nmf_progress_estimation.hpp:20-33)
+            show = ((it + 1) < 10) | (((it + 1) % 10) == 0)
+
+            def _report(args):
+                i, m = args
+                jax.debug.print(
+                    "{it}:\tprogress metric:\t{m}", it=i, m=m, ordered=False,
+                )
+
+            jax.lax.cond(show, _report, lambda a: None, (it + 1, metric))
 
         return (W, H, gW, gH, sstate, pstate, it + 1, sc, metric, done, failed)
 
