@@ -204,17 +204,22 @@ class MaskedAOp:
         return cls(children[0], children[1])
 
 
-def as_aop(A, dtype=jnp.float32, densify_threshold_bytes=2 << 30):
+def as_aop(A, dtype=jnp.float32, densify_threshold_bytes=2 << 30,
+           sparse_format="ell"):
     """Build an operand from a host matrix (ndarray or scipy sparse).
 
     Sparse inputs whose dense form fits under `densify_threshold_bytes` are
     densified: at term-doc sparsity the MXU matmul on the dense form beats
-    irregular gathers, and HBM holds it easily.  Larger matrices keep the
-    sparse path.
+    irregular gathers, and HBM holds it easily.  Larger matrices use the
+    bucketed-ELL operand (ops/ell.py; ~2x faster than COO segment-sums on
+    TPU) unless sparse_format="coo" is requested (COO shards more simply
+    across a mesh).
     """
     import scipy.sparse as sp
 
-    if isinstance(A, (DenseAOp, SparseAOp, MaskedAOp)):
+    from .ell import EllAOp
+
+    if isinstance(A, (DenseAOp, SparseAOp, MaskedAOp, EllAOp)):
         return A
     if sp.issparse(A):
         m, n = A.shape
@@ -231,5 +236,7 @@ def as_aop(A, dtype=jnp.float32, densify_threshold_bytes=2 << 30):
                 .add(jnp.asarray(coo.data, dtype=dtype))
             )
             return DenseAOp(dense)
-        return SparseAOp.from_scipy(A.tocsc(), dtype=dtype)
+        if sparse_format == "coo":
+            return SparseAOp.from_scipy(A.tocsc(), dtype=dtype)
+        return EllAOp.from_scipy(A.tocsc(), dtype=dtype)
     return DenseAOp(jnp.asarray(np.asarray(A), dtype=dtype))

@@ -1,0 +1,170 @@
+"""Bucketed-ELL sparse operand: the TPU-friendly format for matrices too
+large to densify.
+
+SURVEY.md §7.1 prescribes a padded-CSR/ELL format for the sparse path.
+Scatter-based COO segment-sums (ops/aop.SparseAOp) spend most of their
+time in TPU scatter; this operand instead groups columns (and rows, for
+the transposed product) into power-of-2 nonzero-length buckets, pads each
+bucket to a rectangle, and computes each product as
+
+    gather rows of the dense factor  ->  weighted einsum over the pad dim
+
+which lowers to XLA's contiguous row-gather plus an MXU/VPU contraction —
+no scatters anywhere.  Padding waste is bounded by 2x (power-of-2
+buckets).  Bucket outputs are reassembled with one inverse-permutation
+take instead of scatter.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dense import _PRECISION, _pet
+
+
+def _build_buckets(indptr, indices, data, minor_dim, min_len=8):
+    """Group the major-axis slices of a CS{C,R} structure by pow-2 length.
+
+    Returns (order, bucket_list) where bucket_list entries are
+    (ids, idx, vals): ids (g,) major indices, idx (g, L) minor indices
+    padded with `minor_dim` (one-past-the-end sentinel), vals (g, L).
+    `order` is the concatenation of all bucket ids.
+    """
+    lengths = np.diff(indptr)
+    n_major = len(lengths)
+    buckets = {}
+    for j in range(n_major):
+        ln = int(lengths[j])
+        L = min_len
+        while L < ln:
+            L <<= 1
+        buckets.setdefault(L, []).append(j)
+
+    out = []
+    order = []
+    for L in sorted(buckets):
+        ids = np.asarray(buckets[L], dtype=np.int32)
+        g = len(ids)
+        idx = np.full((g, L), minor_dim, dtype=np.int32)
+        vals = np.zeros((g, L), dtype=np.float64)
+        for row_i, j in enumerate(ids):
+            lo, hi = indptr[j], indptr[j + 1]
+            idx[row_i, : hi - lo] = indices[lo:hi]
+            vals[row_i, : hi - lo] = data[lo:hi]
+        out.append((ids, idx, vals))
+        order.append(ids)
+    order = np.concatenate(order) if order else np.empty(0, np.int32)
+    inv = np.empty(n_major, dtype=np.int32)
+    inv[order] = np.arange(n_major, dtype=np.int32)
+    return inv, out
+
+
+@jax.tree_util.register_pytree_node_class
+class EllAOp:
+    """Sparse operand in dual bucketed-ELL form (by columns and by rows)."""
+
+    def __init__(self, shape, col_inv, col_buckets, row_inv, row_buckets):
+        self._shape = tuple(int(s) for s in shape)
+        self.col_inv = col_inv          # (n,) inverse permutation
+        self.col_buckets = col_buckets  # list of (idx(g,L), vals(g,L))
+        self.row_inv = row_inv          # (m,)
+        self.row_buckets = row_buckets
+
+    @classmethod
+    def from_scipy(cls, A, dtype=jnp.float32, min_len=8):
+        csc = A.tocsc()
+        csc.sort_indices()
+        m, n = csc.shape
+        col_inv, cb = _build_buckets(
+            csc.indptr, csc.indices, csc.data, m, min_len
+        )
+        csr = A.tocsr()
+        csr.sort_indices()
+        row_inv, rb = _build_buckets(
+            csr.indptr, csr.indices, csr.data, n, min_len
+        )
+
+        def dev(bkts):
+            return [
+                (jnp.asarray(idx), jnp.asarray(vals, dtype=dtype))
+                for (_ids, idx, vals) in bkts
+            ]
+
+        return cls(
+            (m, n),
+            jnp.asarray(col_inv),
+            dev(cb),
+            jnp.asarray(row_inv),
+            dev(rb),
+        )
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        if self.col_buckets:
+            return self.col_buckets[0][1].dtype
+        return jnp.float32
+
+    @staticmethod
+    def _product(buckets, inv, table):
+        """Generic bucketed product: for each major slice j,
+        out[j, :] = sum_l vals[j, l] * table[idx[j, l], :].
+
+        `table` is the dense factor with one zero row appended (sentinel
+        for padding).  Returns (n_major, k).
+        """
+        pieces = []
+        for idx, vals in buckets:
+            g = jnp.take(table, idx.reshape(-1), axis=0)
+            g = g.reshape(idx.shape[0], idx.shape[1], table.shape[1])
+            pieces.append(
+                jnp.einsum(
+                    "gl,glk->gk", vals, g,
+                    precision=_PRECISION,
+                    preferred_element_type=_pet(vals),
+                ).astype(vals.dtype)
+            )
+        stacked = jnp.concatenate(pieces, axis=0)
+        return jnp.take(stacked, inv, axis=0)
+
+    def mm_tn(self, W):
+        """W^T A -> (k, n): per column j, sum of vals * W[row]."""
+        table = jnp.concatenate(
+            [W, jnp.zeros((1, W.shape[1]), W.dtype)], axis=0
+        )
+        return self._product(self.col_buckets, self.col_inv, table).T
+
+    def mm_nt(self, H):
+        """A H^T -> (m, k): per row i, sum of vals * H[:, col]."""
+        table = jnp.concatenate(
+            [H.T, jnp.zeros((1, H.shape[0]), H.dtype)], axis=0
+        )
+        return self._product(self.row_buckets, self.row_inv, table)
+
+    def col_sums(self):
+        ones = jnp.ones((self._shape[0], 1), self.dtype)
+        return self.mm_tn(ones)[0, :]
+
+    def tree_flatten(self):
+        flat_cols = [t for pair in self.col_buckets for t in pair]
+        flat_rows = [t for pair in self.row_buckets for t in pair]
+        children = (self.col_inv, self.row_inv, *flat_cols, *flat_rows)
+        aux = (self._shape, len(self.col_buckets), len(self.row_buckets))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        shape, n_cb, n_rb = aux
+        col_inv, row_inv = children[0], children[1]
+        rest = children[2:]
+        cb = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_cb)]
+        off = 2 * n_cb
+        rb = [
+            (rest[off + 2 * i], rest[off + 2 * i + 1]) for i in range(n_rb)
+        ]
+        return cls(shape, col_inv, cb, row_inv, rb)

@@ -1,0 +1,157 @@
+"""Operand-layer tests: sparse/dense/masked/ELL product equivalence.
+
+Reference model: TestSparseGemm (tests/src/test_sparse_gemm.cpp) — all
+sparse GEMM variants vs a dense reference over random shapes/sparsities.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from smallk_tpu.engines.embeddings import NmfEmbeddings
+from smallk_tpu.ops.aop import DenseAOp, MaskedAOp, SparseAOp, as_aop
+from smallk_tpu.ops.ell import EllAOp
+
+DTYPE = jnp.float64
+
+
+def _random_problem(m, n, k, density, seed):
+    rng = np.random.RandomState(seed)
+    A = sp.random(m, n, density=density, random_state=rng, format="csc")
+    W = rng.rand(m, k)
+    H = rng.rand(k, n)
+    return A, W, H
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize(
+    "m,n,k,density",
+    [(40, 30, 4, 0.1), (100, 80, 8, 0.02), (17, 65, 3, 0.3),
+     (64, 64, 2, 0.05)],
+)
+def test_sparse_matches_dense(m, n, k, density, seed):
+    A, W, H = _random_problem(m, n, k, density, seed)
+    Wd, Hd = jnp.asarray(W), jnp.asarray(H)
+    dense = DenseAOp(jnp.asarray(A.toarray()))
+    sparse = SparseAOp.from_scipy(A, dtype=DTYPE)
+    ell = EllAOp.from_scipy(A, dtype=DTYPE)
+
+    ref_tn = np.asarray(dense.mm_tn(Wd))
+    ref_nt = np.asarray(dense.mm_nt(Hd))
+    for op in (sparse, ell):
+        np.testing.assert_allclose(np.asarray(op.mm_tn(Wd)), ref_tn,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.mm_nt(Hd)), ref_nt,
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_empty_rows_and_cols():
+    # matrix with some all-zero rows and columns
+    A = sp.csc_matrix(
+        (np.array([1.0, 2.0, 3.0]),
+         (np.array([1, 3, 1]), np.array([0, 0, 2]))),
+        shape=(5, 4),
+    )
+    rng = np.random.RandomState(0)
+    W = jnp.asarray(rng.rand(5, 3))
+    H = jnp.asarray(rng.rand(3, 4))
+    dense = DenseAOp(jnp.asarray(A.toarray()))
+    for op in (SparseAOp.from_scipy(A, DTYPE), EllAOp.from_scipy(A, DTYPE)):
+        np.testing.assert_allclose(
+            np.asarray(op.mm_tn(W)), np.asarray(dense.mm_tn(W)), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.mm_nt(H)), np.asarray(dense.mm_nt(H)), atol=1e-12
+        )
+
+
+def test_masked_equals_zeroed_columns():
+    A, W, H = _random_problem(30, 20, 4, 0.2, 7)
+    mask_np = (np.random.RandomState(1).rand(20) > 0.5).astype(np.float64)
+    base = DenseAOp(jnp.asarray(A.toarray()))
+    masked = MaskedAOp(base, jnp.asarray(mask_np))
+    zeroed = DenseAOp(jnp.asarray(A.toarray() * mask_np[None, :]))
+    Wd, Hd = jnp.asarray(W), jnp.asarray(H)
+    np.testing.assert_allclose(
+        np.asarray(masked.mm_tn(Wd)), np.asarray(zeroed.mm_tn(Wd)),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked.mm_nt(Hd)), np.asarray(zeroed.mm_nt(Hd)),
+        atol=1e-12,
+    )
+
+
+def test_as_aop_densify_scatter_matches():
+    A, _, _ = _random_problem(25, 18, 3, 0.15, 3)
+    # duplicate entries: scatter-add must sum them like triplet compress
+    coo = A.tocoo()
+    dup = sp.coo_matrix(
+        (np.concatenate([coo.data, coo.data[:5]]),
+         (np.concatenate([coo.row, coo.row[:5]]),
+          np.concatenate([coo.col, coo.col[:5]]))),
+        shape=A.shape,
+    )
+    op = as_aop(dup, dtype=DTYPE)
+    assert isinstance(op, DenseAOp)
+    np.testing.assert_allclose(
+        np.asarray(op.A), dup.tocsc().toarray(), atol=1e-12
+    )
+
+
+def test_ell_in_solver():
+    from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
+    from smallk_tpu.common.rng import Random, random_matrix
+    from smallk_tpu.solvers.solve import nmf_solve
+
+    A, _, _ = _random_problem(60, 48, 4, 0.1, 9)
+    W0 = jnp.asarray(random_matrix(60, 4, Random(1)))
+    H0 = jnp.asarray(random_matrix(4, 48, Random(2)))
+    opts = NmfOptions(
+        tol=1e-4, algorithm=NmfAlgorithm.BPP, height=60, width=48, k=4,
+        min_iter=2, max_iter=50, verbose=False, dtype="float64",
+    )
+    ref = nmf_solve(DenseAOp(jnp.asarray(A.toarray())), W0, H0, opts)
+    out = nmf_solve(EllAOp.from_scipy(A, DTYPE), W0, H0, opts)
+    assert int(out.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(out.W), np.asarray(ref.W),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_embeddings_retrieval():
+    rng = np.random.RandomState(0)
+    W = rng.rand(50, 4)
+    H = rng.rand(4, 30)
+    emb = NmfEmbeddings(W, H)
+
+    idx, vals = emb.top_docs_for_topic(2, k=5)
+    assert len(idx) == 5
+    # verify against numpy
+    expect = np.argsort(-H[2, :])[:5]
+    np.testing.assert_array_equal(np.sort(idx), np.sort(expect))
+
+    idx, _ = emb.top_terms_for_topic(1, k=3)
+    expect = np.argsort(-W[:, 1])[:3]
+    np.testing.assert_array_equal(np.sort(idx), np.sort(expect))
+
+    sim_idx, sim_vals = emb.similar_docs(0, k=5)
+    assert 0 not in sim_idx and len(sim_idx) == 5
+    assert (np.diff(sim_vals) <= 1e-6).all()  # descending scores
+
+    q = np.zeros(50)
+    q[:5] = 1.0
+    idx, _ = emb.search(q, k=4)
+    assert len(idx) == 4
+
+
+def test_embeddings_save_load(tmp_path):
+    rng = np.random.RandomState(1)
+    emb = NmfEmbeddings(rng.rand(20, 3), rng.rand(3, 10))
+    path = str(tmp_path / "emb.npz")
+    emb.save(path)
+    emb2 = NmfEmbeddings.load(path)
+    np.testing.assert_allclose(
+        np.asarray(emb2.docs.table), np.asarray(emb.docs.table)
+    )
