@@ -90,6 +90,10 @@ class NmfOptions:
     normalize: bool = True
     dtype: str = "float32"
     check_interval: int = 1
+    # Storage dtype for the A operand only (None = same as `dtype`).
+    # "bfloat16" halves HBM traffic of the dominant W'A / AH' streams with
+    # f32 accumulation; factors, Grams and solves stay in `dtype`.
+    a_dtype: Optional[str] = None
 
     def validate(self) -> None:
         """Raise ValueError for invalid combinations.

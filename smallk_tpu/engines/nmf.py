@@ -59,7 +59,7 @@ def run_nmf(
     opts.validate()
     dtype = jnp.dtype(opts.dtype)
 
-    a_op = as_aop(A, dtype=dtype)
+    a_op = as_aop(A, dtype=jnp.dtype(opts.a_dtype or opts.dtype))
     m, n = a_op.shape
     if (m, n) != (opts.height, opts.width):
         raise ValueError(

@@ -82,6 +82,13 @@ def shard_operand(a_op, mesh: Mesh):
             shard_operand(a_op.base, mesh),
             jax.device_put(a_op.mask, NamedSharding(mesh, P(d))),
         )
+    from ..ops.ell import EllAOp
+
+    if isinstance(a_op, EllAOp):
+        raise TypeError(
+            "EllAOp buckets are irregular and do not shard; build the "
+            "operand with as_aop(..., sparse_format='coo') for mesh runs"
+        )
     raise TypeError(f"unknown operand type {type(a_op)}")
 
 
