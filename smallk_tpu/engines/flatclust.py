@@ -54,7 +54,7 @@ def run_flatclust(
         )
     opts.validate()
     dtype = jnp.dtype(opts.dtype)
-    a_op = as_aop(A, dtype=dtype)
+    a_op = as_aop(A, dtype=jnp.dtype(opts.a_dtype or opts.dtype))
 
     import time
 

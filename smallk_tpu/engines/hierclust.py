@@ -257,7 +257,8 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     stats = stats if stats is not None else ClustStats()
     opts.validate()
     dtype = jnp.dtype(opts.nmf_opts.dtype)
-    a_op = as_aop(A, dtype=dtype)
+    a_op = as_aop(A, dtype=jnp.dtype(opts.nmf_opts.a_dtype or
+                                     opts.nmf_opts.dtype))
     m, n = a_op.shape
 
     num_clusters = opts.num_clusters
@@ -328,7 +329,8 @@ def clust_flat(A, tree: Tree, opts: ClustOptions, rng: Random):
     from ..solvers.nnls import nnls_hals
 
     dtype = jnp.dtype(opts.nmf_opts.dtype)
-    a_op = as_aop(A, dtype=dtype)
+    a_op = as_aop(A, dtype=jnp.dtype(opts.nmf_opts.a_dtype or
+                                     opts.nmf_opts.dtype))
     m, n = a_op.shape
     k = opts.num_clusters
 
