@@ -10,8 +10,6 @@ is already Python, so these classes call the engines directly.
 from __future__ import annotations
 
 import argparse
-from typing import Optional
-
 import numpy as np
 import scipy.sparse as sp
 

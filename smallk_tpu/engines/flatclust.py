@@ -8,7 +8,6 @@ result files (flatclust/src/main.cpp:268-277, common/src/flat_clust_output.cpp).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..common.options import ClustOptions, ClustStats, NmfStats
+from ..common.options import ClustOptions, ClustStats
 from ..common.rng import Random, random_matrix
 from ..io.delimited import load_delimited
 from ..ops.aop import DenseAOp, MaskedAOp, as_aop
