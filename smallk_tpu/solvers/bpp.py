@@ -12,7 +12,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.dense import gemm, gram, gram_t
+from ..ops.dense import gemm, gram, gram_t, normalize_and_scale
 from .nnls import nnls_blockpivot
 
 
@@ -38,7 +38,19 @@ def step(a_op, W, H, state: BppState):
     Wt, gradWt, ok_w = nnls_blockpivot(HHt, HAt, Wt)
 
     W = Wt.T
-    gradW = gradWt.T
+
+    # Per-iteration W/H scale rebalancing (product-invariant: unit-norm W
+    # columns, inversely scaled H rows).  The reference does not rebalance
+    # inside BPP — it runs f64, where the W-up/H-down scale drift of
+    # alternating NNLS stays negligible.  In f32 the drift compounds:
+    # kappa(W'W) grows with the scale imbalance, degrading the masked
+    # solves until topics collapse (empirically: divergence after ~400
+    # iterations at k=32).  Rebalancing pins the conditioning and
+    # reproduces the f64 trajectory.
+    W, H, norms = normalize_and_scale(W, H)
+    Wt = W.T
+    # gradient at the rebalanced point: dL/dW_new = dL/dW_old * diag(norms)
+    gradW = gradWt.T * norms[None, :]
 
     # recompute gradH with the updated W (reference :366-374)
     WtW = gram(W)

@@ -81,12 +81,28 @@ def _masked_cholesky_solve(LHS, RHS, passive):
 
     aug = jnp.concatenate([M, b[:, None, :]], axis=1)  # (k, k+1, n)
     unit = jnp.arange(k)
+    # Dead-pivot guard: a zero factor row (dead topic) makes the passive
+    # diagonal of LHS ~0.  Its RHS entry is also ~0 (both come from the
+    # same dead row of H), so substituting the unit row — solution
+    # component = 0, no elimination effect — is the exact solution of the
+    # remaining nonsingular subsystem.  The reference instead throws
+    # NonHPSDMatrixException and aborts the whole solve (normal_eq.hpp:
+    # 18-35); handling it keeps large-k factorizations alive when topics
+    # collapse.
+    tiny = k * jnp.finfo(dtype).eps * (jnp.max(jnp.abs(LHS)) + 1.0)
+    unit_rows = jnp.concatenate([eye, jnp.zeros((k, 1), dtype)], axis=1)
     for j in range(k):
         piv = aug[j, j, :]  # (n,)
-        row_j = aug[j, :, :] / piv[None, :]  # (k+1, n)
+        safe = jnp.abs(piv) > tiny
+        piv_use = jnp.where(safe, piv, 1.0)
+        row_j = jnp.where(
+            safe[None, :], aug[j, :, :] / piv_use[None, :],
+            unit_rows[j][:, None],
+        )  # (k+1, n)
         factors = jnp.where(
             (unit == j)[:, None], 0.0, aug[:, j, :]
         )  # (k, n)
+        factors = jnp.where(safe[None, :], factors, 0.0)
         aug = aug - factors[:, None, :] * row_j[None, :, :]
         aug = aug.at[j].set(row_j)
     return aug[:, k, :]  # (k, n)
@@ -114,13 +130,18 @@ def nnls_blockpivot(LHS, RHS, Xinit):
     # anything above -delta as nonnegative; values are never altered, and
     # the final X is clamped at 0 (projection error <= delta_x).  For f64
     # the deltas collapse to ~1e-12, reproducing reference behavior.
-    scale_lhs = jnp.max(jnp.abs(LHS))
     scale_rhs = jnp.maximum(1.0, jnp.max(jnp.abs(RHS)))
+    abs_lhs = jnp.abs(LHS)
+    abs_rhs = jnp.abs(RHS)
 
     def deltas(X):
-        xmax = jnp.maximum(1.0, jnp.max(jnp.abs(X)))
-        dx = 512.0 * eps * xmax
-        dy = 16.0 * eps * (k * scale_lhs * xmax + scale_rhs)
+        # Per-entry bounds, not max-based: a max-based dual tolerance
+        # scales with the largest Gram entry and turns into a feedback
+        # loop (looser tests -> worse solutions -> larger factors ->
+        # larger Gram -> looser tests).  The rounding of Y_ij = (LHS X)_ij
+        # - RHS_ij is bounded by eps * (|LHS| |X| + |RHS|)_ij exactly.
+        dx = 512.0 * eps * jnp.maximum(1.0, jnp.max(jnp.abs(X)))
+        dy = 16.0 * eps * (gemm(abs_lhs, jnp.abs(X)) + abs_rhs)  # (k, n)
         return dx, dy
 
     passive = Xinit > 0

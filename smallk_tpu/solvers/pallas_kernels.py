@@ -38,13 +38,22 @@ def _gj_kernel(LHS_ref, RHS_ref, p_ref, X_ref, *, k: int):
     x = RHS_ref[:] * p  # (k, T)
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # (k, 1)
+    # dead-pivot guard (see solvers/nnls._masked_cholesky_solve)
+    tiny = k * jnp.finfo(LHS.dtype).eps * (jnp.max(jnp.abs(LHS)) + 1.0)
 
     # unrolled Gauss-Jordan over the k pivots; work arrays stay in VMEM
     for j in range(k):
-        inv = 1.0 / M[j, j, :]  # (T,)
-        row_j = M[j] * inv[None, :]  # (k, T)
-        xj = x[j, :] * inv  # (T,)
+        piv = M[j, j, :]  # (T,)
+        safe = jnp.abs(piv) > tiny
+        inv = jnp.where(safe, 1.0 / jnp.where(safe, piv, 1.0), 0.0)
+        row_j = M[j] * inv[None, :]  # (k, T); zero row when unsafe
+        row_j = jnp.where(
+            safe[None, :], row_j,
+            jnp.where(row_ids == j, 1.0, 0.0),
+        )
+        xj = x[j, :] * inv  # (T,); 0 when unsafe
         f = jnp.where(row_ids == j, 0.0, M[:, j, :])  # (k, T), 0 at row j
+        f = jnp.where(safe[None, :], f, 0.0)
         M = M - f[:, None, :] * row_j[None, :, :]
         x = x - f * xj[None, :]
         is_j = row_ids == j
