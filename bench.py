@@ -1,6 +1,8 @@
 """Benchmark: NMF-BPP iterations/sec on a reuters-shaped sparse corpus.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+With --all, additional JSON lines for secondary workloads (hierclust,
+HALS, preprocessor) follow the headline line.
 
 Baseline (BASELINE.md): reference smallk NMF-BPP on reuters.mtx
 (12411 x 7984 sparse, k=8) converged in 22 iterations / 0.633 s on an
@@ -13,6 +15,86 @@ import sys
 import time
 
 import numpy as np
+
+
+def bench_all():
+    """Secondary metrics (printed after the headline line with --all)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smallk_tpu.common.options import (
+        ClustOptions, NmfAlgorithm, NmfOptions, NmfProgressAlgorithm,
+    )
+    from smallk_tpu.common.rng import Random, random_matrix
+    from smallk_tpu.engines.hierclust import clust_hier
+    from smallk_tpu.engines.matrixgen import random_sparse_matrix
+    from smallk_tpu.engines.preprocess import preprocess_tf
+    from smallk_tpu.ops.aop import as_aop
+    from smallk_tpu.solvers.solve import nmf_solve
+
+    out = []
+
+    # hierclust: reuters-shaped corpus to 12 leaves (reference: 2.758 s)
+    m, n = 12411, 7984
+    A = random_sparse_matrix(Random(2024), m, n, nz_per_col=80,
+                             dtype=np.float32)
+    copts = ClustOptions(
+        nmf_opts=NmfOptions(
+            tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+            prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+            min_iter=1, max_iter=5000, verbose=False, dtype="float32",
+            a_dtype="bfloat16",
+        ),
+        num_clusters=12, verbose=False,
+    )
+    clust_hier(A, copts, Random(1))  # compile
+    t0 = time.perf_counter()
+    _, stats = clust_hier(A, copts, Random(2))
+    dt = time.perf_counter() - t0
+    out.append({
+        "metric": "hierclust_12_clusters_reuters_shape_wall_s",
+        "value": round(dt, 2), "unit": "seconds",
+        "vs_baseline": round(2.758 / dt, 2),
+    })
+
+    # HALS iterations/sec, flatclust baseline config (reference: 2128/s)
+    rng = Random(42)
+    Ad = jnp.asarray(random_matrix(256, 256, rng, dtype=np.float32))
+    W0 = jnp.asarray(random_matrix(256, 16, rng, dtype=np.float32))
+    H0 = jnp.asarray(random_matrix(16, 256, rng, dtype=np.float32))
+    hopts = NmfOptions(tol=1e-30, algorithm=NmfAlgorithm.HALS, height=256,
+                       width=256, k=16, min_iter=1, max_iter=2000,
+                       verbose=False)
+    aop = as_aop(np.asarray(Ad))
+    r = nmf_solve(aop, W0, H0, hopts)
+    r.W.block_until_ready()
+    t0 = time.perf_counter()
+    r = nmf_solve(aop, W0, H0, hopts)
+    r.W.block_until_ready()
+    rate = int(r.iterations) / (time.perf_counter() - t0)
+    out.append({
+        "metric": "hals_iters_per_sec_256x256_k16",
+        "value": round(rate, 0), "unit": "iterations/sec",
+        "vs_baseline": round(rate / 2128.0, 2),
+    })
+
+    # preprocessor on a 20news-sized corpus (reference: 0.063 s prune+tfidf)
+    import scipy.sparse as sp
+
+    rng_np = np.random.RandomState(3)
+    rows = rng_np.randint(0, 39771, 877_453)
+    cols = rng_np.randint(0, 11237, 877_453)
+    vals = rng_np.randint(1, 20, 877_453).astype(np.float64)
+    P = sp.csc_matrix((vals, (rows, cols)), shape=(39771, 11237))
+    t0 = time.perf_counter()
+    preprocess_tf(P, docs_per_term=3, terms_per_doc=5, verbose=False)
+    dt = time.perf_counter() - t0
+    out.append({
+        "metric": "preprocess_20news_shape_wall_s",
+        "value": round(dt, 3), "unit": "seconds",
+        "vs_baseline": round(0.063 / dt, 2),
+    })
+    return out
 
 
 def main():
@@ -68,6 +150,10 @@ def main():
         "unit": "iterations/sec",
         "vs_baseline": round(its_per_sec / baseline, 2),
     }))
+
+    if "--all" in sys.argv:
+        for line in bench_all():
+            print(json.dumps(line))
 
 
 if __name__ == "__main__":

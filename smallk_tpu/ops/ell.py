@@ -32,27 +32,33 @@ def _build_buckets(indptr, indices, data, minor_dim, min_len=8):
     padded with `minor_dim` (one-past-the-end sentinel), vals (g, L).
     `order` is the concatenation of all bucket ids.
     """
+    indptr = np.asarray(indptr, dtype=np.int64)
     lengths = np.diff(indptr)
     n_major = len(lengths)
-    buckets = {}
-    for j in range(n_major):
-        ln = int(lengths[j])
-        L = min_len
-        while L < ln:
-            L <<= 1
-        buckets.setdefault(L, []).append(j)
 
+    # bucket id = pow-2 class of the slice length (vectorized)
+    classes = np.maximum(
+        np.ceil(np.log2(np.maximum(lengths, 1))).astype(np.int64),
+        int(np.log2(min_len)),
+    )
     out = []
     order = []
-    for L in sorted(buckets):
-        ids = np.asarray(buckets[L], dtype=np.int32)
+    for cls in np.unique(classes):
+        L = 1 << int(cls)
+        ids = np.where(classes == cls)[0].astype(np.int32)
         g = len(ids)
+        lens = lengths[ids]
+        total = int(lens.sum())
+        # flat gather indices into the CSC arrays for all bucket entries
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        flat_src = np.repeat(indptr[ids], lens) + within
+        rows_in_bucket = np.repeat(np.arange(g), lens)
         idx = np.full((g, L), minor_dim, dtype=np.int32)
         vals = np.zeros((g, L), dtype=np.float64)
-        for row_i, j in enumerate(ids):
-            lo, hi = indptr[j], indptr[j + 1]
-            idx[row_i, : hi - lo] = indices[lo:hi]
-            vals[row_i, : hi - lo] = data[lo:hi]
+        idx[rows_in_bucket, within] = indices[flat_src]
+        vals[rows_in_bucket, within] = data[flat_src]
         out.append((ids, idx, vals))
         order.append(ids)
     order = np.concatenate(order) if order else np.empty(0, np.int32)
@@ -110,25 +116,53 @@ class EllAOp:
             return self.col_buckets[0][1].dtype
         return jnp.float32
 
-    @staticmethod
-    def _product(buckets, inv, table):
+    # memory budget for one gathered (g, L, k) block; larger buckets are
+    # processed in slabs via lax.map (a rank-128 bucket over 200k columns
+    # would otherwise materialize ~13 GB)
+    _GATHER_BYTES_BUDGET = 256 * 1024 * 1024
+
+    @classmethod
+    def _bucket_product(cls, idx, vals, table):
+        k = table.shape[1]
+        g_total, L = idx.shape
+        elem = jnp.dtype(vals.dtype).itemsize
+
+        def block(idx_b, vals_b):
+            gb = jnp.take(table, idx_b.reshape(-1), axis=0)
+            gb = gb.reshape(idx_b.shape[0], L, k)
+            return jnp.einsum(
+                "gl,glk->gk", vals_b, gb,
+                precision=_PRECISION,
+                preferred_element_type=_pet(vals_b),
+            ).astype(vals_b.dtype)
+
+        if g_total * L * k * elem <= cls._GATHER_BYTES_BUDGET:
+            return block(idx, vals)
+
+        chunk = max(256, cls._GATHER_BYTES_BUDGET // (L * k * elem))
+        chunk = min(chunk, g_total)
+        pad = (-g_total) % chunk
+        idx_p = jnp.pad(idx, ((0, pad), (0, 0)),
+                        constant_values=table.shape[0] - 1)
+        vals_p = jnp.pad(vals, ((0, pad), (0, 0)))
+        nb = (g_total + pad) // chunk
+        out = jax.lax.map(
+            lambda args: block(args[0], args[1]),
+            (idx_p.reshape(nb, chunk, L), vals_p.reshape(nb, chunk, L)),
+        )
+        return out.reshape(nb * chunk, k)[:g_total]
+
+    @classmethod
+    def _product(cls, buckets, inv, table):
         """Generic bucketed product: for each major slice j,
         out[j, :] = sum_l vals[j, l] * table[idx[j, l], :].
 
         `table` is the dense factor with one zero row appended (sentinel
         for padding).  Returns (n_major, k).
         """
-        pieces = []
-        for idx, vals in buckets:
-            g = jnp.take(table, idx.reshape(-1), axis=0)
-            g = g.reshape(idx.shape[0], idx.shape[1], table.shape[1])
-            pieces.append(
-                jnp.einsum(
-                    "gl,glk->gk", vals, g,
-                    precision=_PRECISION,
-                    preferred_element_type=_pet(vals),
-                ).astype(vals.dtype)
-            )
+        pieces = [
+            cls._bucket_product(idx, vals, table) for idx, vals in buckets
+        ]
         stacked = jnp.concatenate(pieces, axis=0)
         return jnp.take(stacked, inv, axis=0)
 

@@ -48,7 +48,39 @@ def _masked_solve(LHS, RHS, passive):
     return _masked_cholesky_solve(LHS, RHS, passive)
 
 
+# Memory budget for the (k, k+1, n) augmented tensor of one elimination
+# block; wider problems are processed in column chunks via lax.map.
+_GJ_BYTES_BUDGET = 256 * 1024 * 1024
+
+
 def _masked_cholesky_solve(LHS, RHS, passive):
+    """Batched masked SPD solve with column chunking for large k*n.
+
+    Dispatches to the single-block elimination when the work tensor fits
+    the budget; otherwise maps over column chunks (rank-128 on a
+    million-document corpus needs ~66 GB unchunked).
+    """
+    k, n = RHS.shape
+    elem = jnp.dtype(LHS.dtype).itemsize
+    if k * (k + 1) * n * elem <= _GJ_BYTES_BUDGET:
+        return _gj_solve_block(LHS, RHS, passive)
+
+    chunk = max(1024, _GJ_BYTES_BUDGET // (k * (k + 1) * elem))
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    RHS_p = jnp.pad(RHS, ((0, 0), (0, pad)))
+    pas_p = jnp.pad(passive, ((0, 0), (0, pad)))
+    nb = (n + pad) // chunk
+    RHS_c = RHS_p.reshape(k, nb, chunk).transpose(1, 0, 2)
+    pas_c = pas_p.reshape(k, nb, chunk).transpose(1, 0, 2)
+    out = jax.lax.map(
+        lambda args: _gj_solve_block(LHS, args[0], args[1]),
+        (RHS_c, pas_c),
+    )  # (nb, k, chunk)
+    return out.transpose(1, 0, 2).reshape(k, n + pad)[:, :n]
+
+
+def _gj_solve_block(LHS, RHS, passive):
     """Batched masked SPD solve.
 
     LHS: (k, k), RHS: (k, n), passive: (k, n) bool.

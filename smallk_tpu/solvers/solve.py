@@ -79,8 +79,13 @@ def nmf_solve(a_op, W0, H0, opts: NmfOptions) -> SolveResult:
         failed = failed | ~ok
 
         # progress estimation: iteration 0 always primes the estimator;
-        # checks begin at min_iter (reference :81-95)
-        do_update = (it == 0) | (it >= opts.min_iter)
+        # checks begin at min_iter (reference :81-95) and run every
+        # `check_interval` iterations (1 == reference behavior)
+        interval = max(1, opts.check_interval)
+        at_check = (it >= opts.min_iter) & (
+            ((it - opts.min_iter) % interval) == 0
+        )
+        do_update = (it == 0) | at_check
 
         def upd(pstate):
             return prog_update(method, it, W, H, gW, gH, pstate)
@@ -90,7 +95,7 @@ def nmf_solve(a_op, W0, H0, opts: NmfOptions) -> SolveResult:
         )
         metric = metric_new
 
-        check = (it >= opts.min_iter) & ~failed
+        check = at_check & ~failed
         hit = check & (metric <= opts.tol)
         sc = jnp.where(check, jnp.where(hit, sc + 1, 0), sc)
         done = done | (check & (sc >= opts.tolcount))
