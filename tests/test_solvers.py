@@ -214,3 +214,52 @@ class TestOptionsValidation:
 
     def test_ok(self):
         NmfOptions(height=10, width=10, k=4).validate()
+
+
+class TestCheckInterval:
+    def test_interval_skips_checks(self):
+        # with a large check interval, convergence is only declared at
+        # check iterations; results at interval=1 and interval=3 agree on
+        # the final factors for a fixed iteration budget
+        import dataclasses
+
+        A, res1 = _run_nmf(NmfAlgorithm.MU, tol=1e-12, max_iter=30)
+        rng = Random(0)
+        m, n, k = 48, 40, 5
+        A = random_matrix(m, n, rng, dtype=np.float64)
+        W0 = random_matrix(m, k, rng, dtype=np.float64)
+        H0 = random_matrix(k, n, rng, dtype=np.float64)
+        base = NmfOptions(
+            tol=1e-12, algorithm=NmfAlgorithm.MU,
+            prog_est_algorithm=NmfProgressAlgorithm.DELTA_FNORM,
+            height=m, width=n, k=k, min_iter=2, max_iter=30,
+            verbose=False, dtype="float64",
+        )
+        a_op = DenseAOp(jnp.asarray(A, DTYPE))
+        r1 = nmf_solve(a_op, jnp.asarray(W0, DTYPE), jnp.asarray(H0, DTYPE),
+                       base)
+        r3 = nmf_solve(a_op, jnp.asarray(W0, DTYPE), jnp.asarray(H0, DTYPE),
+                       dataclasses.replace(base, check_interval=3))
+        # neither converges at tol=1e-12; identical trajectories
+        np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r3.W))
+
+    def test_interval_convergence_still_detected(self):
+        import dataclasses
+
+        rng = Random(3)
+        m, n, k = 40, 36, 4
+        Wt, Ht = (np.abs(random_matrix(m, k, rng)),
+                  np.abs(random_matrix(k, n, rng)))
+        A = Wt @ Ht
+        W0 = random_matrix(m, k, rng)
+        H0 = random_matrix(k, n, rng)
+        opts = NmfOptions(
+            tol=1e-5, algorithm=NmfAlgorithm.HALS, height=m, width=n, k=k,
+            min_iter=5, max_iter=2000, verbose=False, dtype="float64",
+            check_interval=5,
+        )
+        res = nmf_solve(DenseAOp(jnp.asarray(A, DTYPE)),
+                        jnp.asarray(W0, DTYPE), jnp.asarray(H0, DTYPE), opts)
+        assert bool(res.converged)
+        # convergence declared only on a check iteration
+        assert (int(res.iterations) - 1 - opts.min_iter) % 5 == 0
