@@ -34,10 +34,29 @@ def bench_all():
 
     out = []
 
-    # hierclust: reuters-shaped corpus to 12 leaves (reference: 2.758 s)
-    m, n = 12411, 7984
-    A = random_sparse_matrix(Random(2024), m, n, nz_per_col=80,
-                             dtype=np.float32)
+    # hierclust: reuters-shaped corpus to 12 leaves (reference: 2.758 s on
+    # real reuters).  The corpus has planted cluster structure — real
+    # term-doc matrices are clustered, and rank-2 convergence rates depend
+    # on it (structureless noise needs ~10x more iterations than reuters).
+    m, n, n_blocks = 12411, 7984, 16
+    rng_np = np.random.RandomState(2024)
+    A = random_sparse_matrix(Random(2024), m, n, nz_per_col=40,
+                             dtype=np.float32).tolil()
+    import scipy.sparse as _sp
+
+    block_rows = np.array_split(np.arange(m), n_blocks)
+    block_cols = np.array_split(rng_np.permutation(n), n_blocks)
+    extra_r, extra_c, extra_v = [], [], []
+    for br, bc in zip(block_rows, block_cols):
+        cnt = 40 * len(bc)
+        extra_r.append(rng_np.choice(br, cnt))
+        extra_c.append(np.repeat(bc, 40))
+        extra_v.append(1.0 + 8.0 * rng_np.rand(cnt))
+    A = (A.tocsc() + _sp.csc_matrix(
+        (np.concatenate(extra_v),
+         (np.concatenate(extra_r), np.concatenate(extra_c))),
+        shape=(m, n),
+    )).tocsc()
     copts = ClustOptions(
         nmf_opts=NmfOptions(
             tol=1e-4, algorithm=NmfAlgorithm.RANK2,

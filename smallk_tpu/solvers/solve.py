@@ -36,6 +36,50 @@ _SOLVERS = {
 }
 
 
+_DEBUG_PRINT_OK = None
+
+
+def _debug_print_supported() -> bool:
+    """Probe once whether the backend supports host callbacks.
+
+    Some PJRT plugins (e.g. the axon TPU tunnel) do not implement host
+    send/recv callbacks, so jax.debug.print inside a compiled loop raises
+    at run time; verbose mode then degrades to the end-of-run summary.
+    """
+    global _DEBUG_PRINT_OK
+    if _DEBUG_PRINT_OK is None:
+        if jax.default_backend() in ("axon",):
+            _DEBUG_PRINT_OK = False
+        else:
+            try:
+                # probe must mirror real usage (print under cond inside a
+                # while_loop) or trivial programs may elide the callback
+                def probe(x):
+                    def body(c):
+                        jax.lax.cond(
+                            c[0] < 1,
+                            lambda v: jax.debug.print(
+                                "{v}", v=v, ordered=False
+                            ),
+                            lambda v: None,
+                            c[1],
+                        )
+                        return (c[0] + 1, c[1])
+
+                    return jax.lax.while_loop(
+                        lambda c: c[0] < 2, body, (0, x)
+                    )[1]
+
+                jax.block_until_ready(jax.jit(probe)(jnp.zeros(())))
+                _DEBUG_PRINT_OK = True
+            except Exception:
+                _DEBUG_PRINT_OK = False
+        if not _DEBUG_PRINT_OK:
+            print("smallk_tpu: backend lacks host callbacks; per-iteration "
+                  "progress printing disabled")
+    return _DEBUG_PRINT_OK
+
+
 class SolveResult(NamedTuple):
     W: jnp.ndarray
     H: jnp.ndarray
@@ -49,13 +93,21 @@ def get_solver(algorithm: NmfAlgorithm):
     return _SOLVERS[algorithm]
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
 def nmf_solve(a_op, W0, H0, opts: NmfOptions) -> SolveResult:
     """Run the NMF iteration loop on device.
 
     `opts` is static: each (algorithm, shape) pair compiles once and is
     cached; hierclust reuses one compiled rank-2 loop for every tree node.
     """
+    # capability check must run OUTSIDE the trace: probing inside would
+    # inline the probe's callback into this program
+    verbose_print = bool(opts.verbose) and _debug_print_supported()
+    return _nmf_solve_impl(a_op, W0, H0, opts, verbose_print)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "verbose_print"))
+def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
+                    verbose_print: bool) -> SolveResult:
     solver = get_solver(opts.algorithm)
     method = opts.prog_est_algorithm
 
@@ -100,7 +152,7 @@ def nmf_solve(a_op, W0, H0, opts: NmfOptions) -> SolveResult:
         sc = jnp.where(check, jnp.where(hit, sc + 1, 0), sc)
         done = done | (check & (sc >= opts.tolcount))
 
-        if opts.verbose:
+        if verbose_print:
             # reference cadence: iterations 1-9, then every 10th
             # (nmf_progress_estimation.hpp:20-33)
             show = ((it + 1) < 10) | (((it + 1) % 10) == 0)
