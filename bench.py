@@ -62,7 +62,7 @@ def bench_all():
             tol=1e-4, algorithm=NmfAlgorithm.RANK2,
             prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
             min_iter=1, max_iter=5000, verbose=False, dtype="float32",
-            a_dtype="bfloat16",
+            a_dtype="bfloat16", stall_patience=100,
         ),
         num_clusters=12, verbose=False,
     )

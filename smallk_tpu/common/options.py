@@ -94,6 +94,11 @@ class NmfOptions:
     # "bfloat16" halves HBM traffic of the dominant W'A / AH' streams with
     # f32 accumulation; factors, Grams and solves stay in `dtype`.
     a_dtype: Optional[str] = None
+    # Stop after this many consecutive progress checks without >1% metric
+    # improvement (None = reference behavior: run to max_iter).  Useful in
+    # float32, where the progress metric can floor above a tight tolerance
+    # and the reference semantics would burn the full iteration budget.
+    stall_patience: Optional[int] = None
 
     def validate(self) -> None:
         """Raise ValueError for invalid combinations.

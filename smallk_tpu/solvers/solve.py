@@ -121,14 +121,36 @@ def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
     one_f = jnp.ones((), W0.dtype)
 
     def cond(carry):
-        (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed) = carry
+        (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed,
+         best, stall) = carry
         return (it < opts.max_iter) & ~done & ~failed
 
     def body(carry):
-        (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed) = carry
+        (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed,
+         best, stall) = carry
+
+        # Freeze finished problems: standalone, the loop exits on
+        # done/failed so this is a no-op; under vmap the while_loop runs
+        # until ALL batch elements finish, and without gating the
+        # already-converged elements would keep iterating.  This makes
+        # jax.vmap(nmf_solve-over-stacked-problems) correct, e.g. for
+        # batching independent hierclust node factorizations.
+        frozen = done | failed
+        W0_, H0_, gW0_, gH0_, sstate0_ = W, H, gW, gH, sstate
 
         W, H, gW, gH, sstate, ok = solver.step(a_op, W, H, sstate)
-        failed = failed | ~ok
+        W = jnp.where(frozen, W0_, W)
+        H = jnp.where(frozen, H0_, H)
+        gW = jnp.where(frozen, gW0_, gW)
+        gH = jnp.where(frozen, gH0_, gH)
+        sstate = jax.tree.map(
+            lambda new, old: jnp.where(frozen, old, new), sstate, sstate0_
+        )
+        failed = failed | (~ok & ~frozen)
+
+        pstate0_, metric0_, sc0_, best0_, stall0_ = (
+            pstate, metric, sc, best, stall
+        )
 
         # progress estimation: iteration 0 always primes the estimator;
         # checks begin at min_iter (reference :81-95) and run every
@@ -152,6 +174,14 @@ def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
         sc = jnp.where(check, jnp.where(hit, sc + 1, 0), sc)
         done = done | (check & (sc >= opts.tolcount))
 
+        if opts.stall_patience is not None:
+            improved = metric < 0.99 * best
+            best = jnp.where(check & improved, metric, best)
+            stall = jnp.where(
+                check, jnp.where(improved, 0, stall + 1), stall
+            )
+            done = done | (check & (stall >= opts.stall_patience))
+
         if verbose_print:
             # reference cadence: iterations 1-9, then every 10th
             # (nmf_progress_estimation.hpp:20-33)
@@ -165,15 +195,26 @@ def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
 
             jax.lax.cond(show, _report, lambda a: None, (it + 1, metric))
 
-        return (W, H, gW, gH, sstate, pstate, it + 1, sc, metric, done, failed)
+        # second half of the freeze: scalar convergence state
+        pstate = jax.tree.map(
+            lambda new, old: jnp.where(frozen, old, new), pstate, pstate0_
+        )
+        metric = jnp.where(frozen, metric0_, metric)
+        sc = jnp.where(frozen, sc0_, sc)
+        best = jnp.where(frozen, best0_, best)
+        stall = jnp.where(frozen, stall0_, stall)
+        it = jnp.where(frozen, it, it + 1)
+
+        return (W, H, gW, gH, sstate, pstate, it, sc, metric, done,
+                failed, best, stall)
 
     carry = (
         W0, H0, gradW0, gradH0, solver_state, prog_state,
         zero_i, zero_i, one_f, false_, false_,
+        jnp.full((), jnp.inf, W0.dtype), zero_i,
     )
-    (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed) = (
-        jax.lax.while_loop(cond, body, carry)
-    )
+    (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed,
+     best, stall) = jax.lax.while_loop(cond, body, carry)
 
     if opts.normalize:
         W_n, H_n, _ = normalize_and_scale(W, H)

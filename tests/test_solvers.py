@@ -263,3 +263,71 @@ class TestCheckInterval:
         assert bool(res.converged)
         # convergence declared only on a check iteration
         assert (int(res.iterations) - 1 - opts.min_iter) % 5 == 0
+
+
+class TestStallPatience:
+    def test_stall_stops_early(self):
+        import dataclasses
+
+        rng = Random(9)
+        m, n, k = 48, 40, 4
+        A = random_matrix(m, n, rng, dtype=np.float64)
+        W0 = random_matrix(m, k, rng, dtype=np.float64)
+        H0 = random_matrix(k, n, rng, dtype=np.float64)
+        base = NmfOptions(
+            tol=1e-30, algorithm=NmfAlgorithm.HALS,  # unreachable tol
+            height=m, width=n, k=k, min_iter=5, max_iter=3000,
+            verbose=False, dtype="float64",
+        )
+        a_op = DenseAOp(jnp.asarray(A, DTYPE))
+        full = nmf_solve(a_op, jnp.asarray(W0, DTYPE), jnp.asarray(H0, DTYPE),
+                         base)
+        stalled = nmf_solve(
+            a_op, jnp.asarray(W0, DTYPE), jnp.asarray(H0, DTYPE),
+            dataclasses.replace(base, stall_patience=20),
+        )
+        assert int(full.iterations) == 3000
+        assert int(stalled.iterations) < 3000
+        assert bool(stalled.success)
+
+
+class TestVmapSolve:
+    def test_batched_matches_individual(self):
+        """vmap over stacked problems must equal individual solves — the
+        done-gating freezes early-converging batch elements."""
+        import jax
+
+        rng = Random(21)
+        m, n, k = 32, 24, 3
+        problems = []
+        for i in range(3):
+            A = np.abs(random_matrix(m, n, Random(100 + i)))
+            W0 = random_matrix(m, k, Random(200 + i))
+            H0 = random_matrix(k, n, Random(300 + i))
+            problems.append((A, W0, H0))
+        opts = NmfOptions(
+            tol=1e-3, algorithm=NmfAlgorithm.HALS, height=m, width=n, k=k,
+            min_iter=3, max_iter=400, verbose=False, dtype="float64",
+        )
+
+        singles = [
+            nmf_solve(DenseAOp(jnp.asarray(A, DTYPE)),
+                      jnp.asarray(W0, DTYPE), jnp.asarray(H0, DTYPE), opts)
+            for A, W0, H0 in problems
+        ]
+        iters = [int(r.iterations) for r in singles]
+        assert len(set(iters)) > 1, "want differing convergence speeds"
+
+        As = jnp.stack([jnp.asarray(p[0], DTYPE) for p in problems])
+        W0s = jnp.stack([jnp.asarray(p[1], DTYPE) for p in problems])
+        H0s = jnp.stack([jnp.asarray(p[2], DTYPE) for p in problems])
+        batched = jax.vmap(
+            lambda A, W0, H0: nmf_solve(DenseAOp(A), W0, H0, opts)
+        )(As, W0s, H0s)
+
+        for i, r in enumerate(singles):
+            assert int(batched.iterations[i]) == int(r.iterations)
+            np.testing.assert_allclose(
+                np.asarray(batched.W[i]), np.asarray(r.W),
+                rtol=1e-12, atol=1e-14,
+            )
