@@ -50,6 +50,17 @@ def main(argv=None) -> int:
 
     args = build_parser().parse_args(argv)
 
+    if args.verbose:
+        # option dump, as the reference tools print before each run
+        # (smallk.cpp PrintNmfOpts:872-920)
+        print("\n      Command line options:\n")
+        for name in ("matrixfile", "k", "algorithm", "stopping", "tol",
+                     "tolcount", "infile_W", "infile_H", "outfile_W",
+                     "outfile_H", "miniter", "maxiter", "outprecision",
+                     "maxthreads", "normalize", "verbose"):
+            print(f"{name:>20}: {getattr(args, name)}")
+        print()
+
     A = load_matrix(args.matrixfile)
     m, n = A.shape
     k = args.k
