@@ -108,6 +108,19 @@ class SmallkAPI:
     def is_matrix_loaded(self):
         return self._facade.IsMatrixLoaded()
 
+    def get_inputs(self):
+        """Current facade settings (pysmallk get_inputs, pyx:774-783)."""
+        f = self._facade
+        return {
+            "precision": f.GetOutputPrecision(),
+            "min_iter": f.GetMinIter(),
+            "max_iter": f.GetMaxIter(),
+            "tol": f.GetNmfTolerance(),
+            "max_threads": f.GetMaxThreads(),
+            "outdir": f.GetOutputDir(),
+            "format": f.GetOutputFormat().value,
+        }
+
     def nmf(self, k, algorithm, infile_W="", infile_H="", precision=4,
             min_iter=5, max_iter=5000, tol=0.005, max_threads=8,
             outdir="."):
@@ -168,6 +181,11 @@ class Clustering:
             self.dictionary = load_strings(filepath)
         else:
             self.dictionary = list(dictionary)
+
+    def finalize(self):
+        """API parity with pysmallk Clustering.finalize (pyx:953)."""
+        self.A = None
+        self.assignments = None
 
     def get_assignments(self):
         return np.array(self.assignments)
@@ -300,6 +318,7 @@ class Hierclust(Clustering):
         self.tree, self._stats, self.flat_results = run_hier_nmf2(
             self.A, opts, self.rng, self._stats
         )
+        self.num_clusters = k
         self.maxterms = maxterms
         self.assignments = self.tree.assignments
         leaf_terms = [
@@ -318,7 +337,10 @@ class Hierclust(Clustering):
 
         fmt = OutputFormat(format)
         ext = "xml" if fmt == OutputFormat.XML else "json"
-        k = len([1 for leaf in self.tree.is_leaf if leaf])
+        # file names use the requested cluster count, as the reference does,
+        # even if splitting stopped early with fewer leaves
+        k = getattr(self, "num_clusters",
+                    len([1 for leaf in self.tree.is_leaf if leaf]))
         apath = os.path.join(outdir, assignfile or f"assignments_{k}.csv")
         tpath = os.path.join(outdir, treefile or f"tree_{k}.{ext}")
         self.tree.write_assignments(apath)
@@ -476,6 +498,14 @@ class Preprocessor:
 
     def get_reduced_documents(self):
         return [self.documents[int(i)] for i in self.result.doc_indices]
+
+    def get_reduced_field(self, filepath="", values=None):
+        """Project any per-document field list onto the surviving docs
+        (pysmallk get_reduced_field, pyx:1812-1816)."""
+        if filepath:
+            with open(filepath) as f:
+                values = f.read().split("\n")
+        return [values[int(i)] for i in self.result.doc_indices]
 
     def write_output(self, matrix_filepath, dict_filepath, docs_filepath,
                      precision=4):

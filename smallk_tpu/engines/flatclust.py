@@ -42,9 +42,8 @@ def run_flatclust(
 ):
     """Factor A and derive flat clustering results.
 
-    Returns (W, H, assignments, fuzzy, term_indices, success).
-    `term_indices` is (maxterms is applied later by the caller via
-    top_terms_matrix on W).
+    Returns (W, H, assignments, fuzzy, success); top terms are derived by
+    the caller via assignments.top_terms_matrix(W, maxterms).
     """
     if opts.algorithm not in _FLATCLUST_ALGORITHMS:
         raise ValueError(
