@@ -251,7 +251,236 @@ PyObject* unique_cols_mask(PyObject*, PyObject* args) {
   return mask_arr;
 }
 
+// --------------------------------------------------------------------------
+// preprocess_prune(indptr int64[n+1], indices int64[nnz], data float64[nnz],
+//                  docs_per_term, terms_per_doc, max_iter)
+//   -> (indptr', indices', data', term_keep bool[m], doc_keep bool[n])
+// The reference prune/dedupe loop (preprocess.cpp:117-151) in one native
+// pass: rows pruned when occurrence-count < docs_per_term or doc-frequency
+// == width; columns pruned when nnz < terms_per_doc; duplicate columns
+// keep the max original index; loop to fixpoint.  Row/col indices in the
+// returned CSC are renumbered compactly; keep masks map back to originals.
+// --------------------------------------------------------------------------
+PyObject* preprocess_prune(PyObject*, PyObject* args) {
+  PyObject *indptr_o, *indices_o, *data_o;
+  long long docs_per_term, terms_per_doc, max_iter, height;
+  if (!PyArg_ParseTuple(args, "OOOLLLL", &indptr_o, &indices_o, &data_o,
+                        &height, &docs_per_term, &terms_per_doc,
+                        &max_iter)) {
+    return nullptr;
+  }
+  PyArrayObject* indptr = (PyArrayObject*)PyArray_FROM_OTF(
+      indptr_o, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* indices = (PyArrayObject*)PyArray_FROM_OTF(
+      indices_o, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* data = (PyArrayObject*)PyArray_FROM_OTF(
+      data_o, NPY_FLOAT64, NPY_ARRAY_IN_ARRAY);
+  if (!indptr || !indices || !data) {
+    Py_XDECREF(indptr);
+    Py_XDECREF(indices);
+    Py_XDECREF(data);
+    return nullptr;
+  }
+  const int64_t m = height;
+  const int64_t n0 = PyArray_DIM(indptr, 0) - 1;
+  const int64_t* ip0 = static_cast<const int64_t*>(PyArray_DATA(indptr));
+  const int64_t* ix0 = static_cast<const int64_t*>(PyArray_DATA(indices));
+  const double* dv0 = static_cast<const double*>(PyArray_DATA(data));
+
+  bool all_pruned = false;
+  std::vector<int64_t> ip(ip0, ip0 + n0 + 1);
+  std::vector<int64_t> ix(ix0, ix0 + ip0[n0]);
+  std::vector<double> dv(dv0, dv0 + ip0[n0]);
+  // current col j corresponds to original column col_orig[j]; rows keep
+  // original ids until the end (masks are by original id)
+  std::vector<int64_t> col_orig(n0);
+  std::vector<unsigned char> row_alive(m, 1), col_alive_orig(n0, 1);
+  for (int64_t j = 0; j < n0; ++j) col_orig[j] = j;
+
+  Py_BEGIN_ALLOW_THREADS
+  std::vector<double> occ(m);
+  std::vector<int64_t> df(m);
+  std::vector<unsigned char> row_keep(m);
+  for (long long it = 0; it < max_iter; ++it) {
+    int64_t n = static_cast<int64_t>(col_orig.size());
+    // --- row stats + prune (in place compaction of the CSC arrays) ---
+    std::fill(occ.begin(), occ.end(), 0.0);
+    std::fill(df.begin(), df.end(), 0);
+    for (size_t t = 0; t < ix.size(); ++t) {
+      occ[ix[t]] += dv[t];
+      df[ix[t]] += 1;
+    }
+    bool rows_changed = false;
+    for (int64_t r = 0; r < m; ++r) {
+      bool keep = row_alive[r] && occ[r] >= docs_per_term && df[r] < n;
+      row_keep[r] = keep ? 1 : 0;
+      if (row_alive[r] && !keep) rows_changed = true;
+    }
+    if (rows_changed) {
+      for (int64_t r = 0; r < m; ++r) row_alive[r] = row_keep[r];
+      size_t w = 0;
+      for (int64_t j = 0; j < n; ++j) {
+        int64_t lo = ip[j], hi = ip[j + 1];
+        ip[j] = static_cast<int64_t>(w);
+        for (int64_t t = lo; t < hi; ++t) {
+          if (row_alive[ix[t]]) {
+            ix[w] = ix[t];
+            dv[w] = dv[t];
+            ++w;
+          }
+        }
+      }
+      ip[n] = static_cast<int64_t>(w);
+      ix.resize(w);
+      dv.resize(w);
+    }
+
+    // --- column prune (nnz < terms_per_doc) ---
+    bool cols_changed = false;
+    {
+      size_t w = 0;
+      int64_t jw = 0;
+      std::vector<int64_t> new_ip(n + 1);
+      std::vector<int64_t> new_orig;
+      new_orig.reserve(n);
+      for (int64_t j = 0; j < n; ++j) {
+        int64_t lo = ip[j], hi = ip[j + 1];
+        if (hi - lo >= terms_per_doc) {
+          new_ip[jw] = static_cast<int64_t>(w);
+          for (int64_t t = lo; t < hi; ++t) {
+            ix[w] = ix[t];
+            dv[w] = dv[t];
+            ++w;
+          }
+          new_orig.push_back(col_orig[j]);
+          ++jw;
+        } else {
+          cols_changed = true;
+        }
+      }
+      new_ip[jw] = static_cast<int64_t>(w);
+      new_ip.resize(jw + 1);
+      ip = std::move(new_ip);
+      ix.resize(w);
+      dv.resize(w);
+      col_orig = std::move(new_orig);
+    }
+    if (col_orig.empty()) { all_pruned = true; break; }
+
+    // --- duplicate columns: keep max original index per group ---
+    int64_t n2 = static_cast<int64_t>(col_orig.size());
+    std::unordered_map<uint64_t, std::vector<int64_t>> groups;
+    groups.reserve(static_cast<size_t>(n2) * 2);
+    for (int64_t j = 0; j < n2; ++j) {
+      int64_t lo = ip[j], hi = ip[j + 1];
+      uint64_t h = fnv1a(
+          reinterpret_cast<const unsigned char*>(ix.data() + lo),
+          static_cast<size_t>(hi - lo) * sizeof(int64_t));
+      h = fnv1a(reinterpret_cast<const unsigned char*>(dv.data() + lo),
+                static_cast<size_t>(hi - lo) * sizeof(double), h);
+      h ^= static_cast<uint64_t>(hi - lo) * 0x9e3779b97f4a7c15ull;
+      groups[h].push_back(j);
+    }
+    std::vector<unsigned char> keep_col(n2, 1);
+    bool dedup_changed = false;
+    for (auto& kv : groups) {
+      auto& cols = kv.second;
+      if (cols.size() < 2) continue;
+      for (size_t a = 0; a < cols.size(); ++a) {
+        if (!keep_col[cols[a]]) continue;
+        for (size_t b = a + 1; b < cols.size(); ++b) {
+          if (!keep_col[cols[b]]) continue;
+          int64_t ja = cols[a], jb = cols[b];
+          int64_t la = ip[ja + 1] - ip[ja], lb = ip[jb + 1] - ip[jb];
+          if (la != lb) continue;
+          if (memcmp(ix.data() + ip[ja], ix.data() + ip[jb],
+                     la * sizeof(int64_t)) != 0)
+            continue;
+          if (memcmp(dv.data() + ip[ja], dv.data() + ip[jb],
+                     la * sizeof(double)) != 0)
+            continue;
+          keep_col[ja] = 0;  // later (higher-original-index) col survives
+          dedup_changed = true;
+          break;
+        }
+      }
+    }
+    if (dedup_changed) {
+      size_t w = 0;
+      int64_t jw = 0;
+      std::vector<int64_t> new_ip(n2 + 1);
+      std::vector<int64_t> new_orig;
+      new_orig.reserve(n2);
+      for (int64_t j = 0; j < n2; ++j) {
+        if (!keep_col[j]) continue;
+        int64_t lo = ip[j], hi = ip[j + 1];
+        new_ip[jw] = static_cast<int64_t>(w);
+        for (int64_t t = lo; t < hi; ++t) {
+          ix[w] = ix[t];
+          dv[w] = dv[t];
+          ++w;
+        }
+        new_orig.push_back(col_orig[j]);
+        ++jw;
+      }
+      new_ip[jw] = static_cast<int64_t>(w);
+      new_ip.resize(jw + 1);
+      ip = std::move(new_ip);
+      ix.resize(w);
+      dv.resize(w);
+      col_orig = std::move(new_orig);
+    }
+
+    if (!cols_changed && !dedup_changed) break;
+  }
+  Py_END_ALLOW_THREADS
+
+  Py_DECREF(indptr);
+  Py_DECREF(indices);
+  Py_DECREF(data);
+  if (all_pruned) {
+    PyErr_SetString(PyExc_ValueError,
+                    "Preprocessor: all columns were pruned.");
+    return nullptr;
+  }
+
+  const int64_t n_out = static_cast<int64_t>(col_orig.size());
+  npy_intp d_ip[1] = {n_out + 1};
+  npy_intp d_nz[1] = {static_cast<npy_intp>(ix.size())};
+  npy_intp d_m[1] = {m};
+  npy_intp d_n[1] = {n0};
+  PyObject* ip_arr = PyArray_SimpleNew(1, d_ip, NPY_INT64);
+  PyObject* ix_arr = PyArray_SimpleNew(1, d_nz, NPY_INT64);
+  PyObject* dv_arr = PyArray_SimpleNew(1, d_nz, NPY_FLOAT64);
+  PyObject* rk_arr = PyArray_SimpleNew(1, d_m, NPY_BOOL);
+  PyObject* ck_arr = PyArray_SimpleNew(1, d_n, NPY_BOOL);
+  if (!ip_arr || !ix_arr || !dv_arr || !rk_arr || !ck_arr) {
+    Py_XDECREF(ip_arr); Py_XDECREF(ix_arr); Py_XDECREF(dv_arr);
+    Py_XDECREF(rk_arr); Py_XDECREF(ck_arr);
+    return nullptr;
+  }
+  memcpy(PyArray_DATA((PyArrayObject*)ip_arr), ip.data(),
+         (n_out + 1) * sizeof(int64_t));
+  memcpy(PyArray_DATA((PyArrayObject*)ix_arr), ix.data(),
+         ix.size() * sizeof(int64_t));
+  memcpy(PyArray_DATA((PyArrayObject*)dv_arr), dv.data(),
+         dv.size() * sizeof(double));
+  npy_bool* rk = static_cast<npy_bool*>(
+      PyArray_DATA((PyArrayObject*)rk_arr));
+  for (int64_t r = 0; r < m; ++r) rk[r] = row_alive[r] ? NPY_TRUE
+                                                       : NPY_FALSE;
+  npy_bool* ck = static_cast<npy_bool*>(
+      PyArray_DATA((PyArrayObject*)ck_arr));
+  memset(ck, 0, n0 * sizeof(npy_bool));
+  for (int64_t j = 0; j < n_out; ++j) ck[col_orig[j]] = NPY_TRUE;
+
+  return Py_BuildValue("(NNNNN)", ip_arr, ix_arr, dv_arr, rk_arr, ck_arr);
+}
+
 PyMethodDef methods[] = {
+    {"preprocess_prune", preprocess_prune, METH_VARARGS,
+     "Reference prune/dedupe loop on CSC buffers; returns pruned CSC + "
+     "row/col keep masks."},
     {"parse_mtx_body", parse_mtx_body, METH_VARARGS,
      "Parse MatrixMarket coordinate body text into COO arrays."},
     {"format_mtx_body", format_mtx_body, METH_VARARGS,

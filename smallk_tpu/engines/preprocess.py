@@ -94,6 +94,29 @@ def preprocess_tf(
     term_indices = np.arange(m, dtype=np.int64)
     doc_indices = np.arange(n, dtype=np.int64)
 
+    if _native is not None and hasattr(_native, "preprocess_prune"):
+        # native single-call prune/dedupe loop (reference speed class)
+        ip, ix, dv, row_keep, col_keep = _native.preprocess_prune(
+            np.asarray(M.indptr, np.int64),
+            np.asarray(M.indices, np.int64),
+            np.asarray(M.data, np.float64),
+            m, docs_per_term, terms_per_doc, max_iter,
+        )
+        row_keep = np.asarray(row_keep, bool)
+        col_keep = np.asarray(col_keep, bool)
+        # renumber original row ids compactly
+        new_row = np.cumsum(row_keep) - 1
+        M = sp.csc_matrix(
+            (dv.astype(np.int64), new_row[ix], ip),
+            shape=(int(row_keep.sum()), int(col_keep.sum())),
+        )
+        term_indices = np.where(row_keep)[0]
+        doc_indices = np.where(col_keep)[0]
+        if verbose:
+            print(f"\t[native] height: {M.shape[0]}, width: {M.shape[1]}, "
+                  f"nonzeros: {M.nnz}")
+        return _finish_tfidf(M, term_indices, doc_indices)
+
     it = 0
     while it < max_iter:
         # --- PruneRows -----------------------------------------------------
@@ -136,7 +159,11 @@ def preprocess_tf(
         if not pruned_cols and not deduped:
             break
 
-    # --- tf-idf scores -----------------------------------------------------
+    return _finish_tfidf(M, term_indices, doc_indices)
+
+
+def _finish_tfidf(M, term_indices, doc_indices) -> PreprocessResult:
+    """tf-idf scoring + column normalization (preprocess.cpp:193-230)."""
     height, width = M.shape
     df = np.bincount(M.indices, minlength=height).astype(np.float64)
     idf = np.log(width / df)
