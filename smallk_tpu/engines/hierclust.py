@@ -113,6 +113,74 @@ class _Rank2Runner:
         cols = jnp.take(self._A_ext, jnp.asarray(idx), axis=1)
         return DenseAOp(cols)
 
+    def solve_pair(self, subset_l, subset_r):
+        """Factor the two children of a split as ONE batched solve.
+
+        Siblings partition the same parent and typically need similar
+        iteration counts; vmapping the (done-gated, see solvers/solve.py)
+        solve loop over the stacked pair halves dispatch count and doubles
+        chip utilization on the latency-bound small widths.  Returns
+        [(W, H_subset, ok), (W, H_subset, ok)] or None when ineligible
+        (tiny subsets, initdir mode — its file-consumption order is
+        defined by the sequential reference flow — or non-dense A).
+        """
+        if (self._A_ext is None or self.inits.initdir
+                or len(subset_l) <= 3 or len(subset_r) <= 3):
+            return None
+        n_b = max(
+            _MIN_BUCKET,
+            _next_pow2(max(len(subset_l), len(subset_r))),
+        )
+        # batched cost is 2 x max(sibling iterations): a win only where
+        # the solve is latency-bound (small widths underutilize the chip);
+        # at large widths sibling iteration imbalance makes it a loss
+        if n_b >= self.n or n_b > 2 * _MIN_BUCKET:
+            return None
+
+        import jax
+
+        from ..solvers.solve import _nmf_solve_impl
+
+        subsets = (np.asarray(subset_l), np.asarray(subset_r))
+        idx = np.full((2, n_b), self.n, dtype=np.int32)
+        for i, s in enumerate(subsets):
+            idx[i, : len(s)] = s
+        A_pair = jnp.transpose(
+            jnp.take(self._A_ext, jnp.asarray(idx.reshape(-1)), axis=1)
+            .reshape(self.m, 2, n_b),
+            (1, 0, 2),
+        )  # (2, m, n_b)
+
+        W0s = np.empty((2, self.m, 2))
+        H0s = np.zeros((2, 2, n_b))
+        for i, s in enumerate(subsets):
+            W0, H0 = self.inits.next()
+            W0s[i] = W0
+            H0s[i, :, : len(s)] = H0[:, s]
+
+        nmf_opts = self.opts.nmf_opts
+        res = jax.vmap(
+            lambda A, W0, H0: _nmf_solve_impl(
+                DenseAOp(A), W0, H0, nmf_opts, False
+            )
+        )(A_pair, jnp.asarray(W0s, self.dtype), jnp.asarray(H0s, self.dtype))
+
+        out = []
+        for i, s in enumerate(subsets):
+            if bool(res.success[i]):
+                self.stats.nmf_count += 1
+                if int(res.iterations[i]) >= nmf_opts.max_iter:
+                    self.stats.max_count += 1
+                out.append((
+                    np.asarray(res.W[i]),
+                    np.asarray(res.H[i])[:, : len(s)],
+                    True,
+                ))
+            else:
+                # rare singular failure: retry ladder takes over serially
+                out.append(self.solve(s))
+        return out
+
     def solve(self, subset=None, max_attempts=3):
         """Factor A[:, subset] (full A when subset is None).
 
@@ -165,18 +233,23 @@ class _Rank2Runner:
         return None, None, False
 
 
-def _actual_split(runner: _Rank2Runner, subset, w_parent):
+def _actual_split(runner: _Rank2Runner, subset, w_parent,
+                  precomputed=None):
     """One split attempt on a column subset.
 
     Reference: ActualSplit (clust_hier_generic.hpp:383-517).
     Returns (priority, W (m,2), H (2,|subset|), labels (|subset|,)).
+    `precomputed` carries a (W, H, ok) result from a batched pair solve.
     """
     m = runner.m
     if len(subset) <= 3:
         labels = np.ones(len(subset), dtype=np.int64)
         return -1.0, np.zeros((m, 2)), np.zeros((2, len(subset))), labels
 
-    W, H, ok = runner.solve(subset)
+    if precomputed is not None:
+        W, H, ok = precomputed
+    else:
+        W, H, ok = runner.solve(subset)
     if not ok:
         raise RuntimeError(
             "HierNMF2: node factorization failed after three attempts."
@@ -193,7 +266,7 @@ def _actual_split(runner: _Rank2Runner, subset, w_parent):
 
 
 def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
-                 opts: ClustOptions):
+                 opts: ClustOptions, first=None):
     """Split with outlier detection and retries.
 
     Reference: TrialSplit (clust_hier_generic.hpp:245-376).  May shrink
@@ -209,7 +282,10 @@ def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
     priority_one = -2.0
     W = H = None
     while trial < opts.trial_allowance:
-        priority_one, W, H, labels = _actual_split(runner, subset, w_parent)
+        priority_one, W, H, labels = _actual_split(
+            runner, subset, w_parent, precomputed=first
+        )
+        first = None  # only valid for the untouched initial subset
         if priority_one < 0:
             break
 
@@ -297,13 +373,17 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
             H = H_buffer[split_index]
             tree.split(split_index, W, H)
 
-        for idx, docs_fn, tv_fn in (
+        # factor both children; eligible pairs run as one batched solve
+        pair = runner.solve_pair(tree.left_child_docs(),
+                                 tree.right_child_docs())
+        for slot, (idx, docs_fn, tv_fn) in enumerate((
             (tree.index0, tree.left_child_docs, tree.left_child_topic_vector),
             (tree.index1, tree.right_child_docs,
              tree.right_child_topic_vector),
-        ):
+        )):
             priority, subset, W_c, H_c = _trial_split(
-                runner, docs_fn(), min_priority, tv_fn(), opts
+                runner, docs_fn(), min_priority, tv_fn(), opts,
+                first=None if pair is None else pair[slot],
             )
             tree.nodes[idx].docs = subset  # TrialSplit may drop outliers
             tree.set_node_priority(idx, priority)
