@@ -98,3 +98,44 @@ def test_matrixgen_types():
     assert np.count_nonzero(off_diag) == 0 and np.count_nonzero(d) == 4
     sd = generate(6, 4, "SPARSE_DIAG", rng=Random(9))
     assert sp.issparse(sd) and sd.nnz == 4
+
+
+def test_mtx_skew_symmetric(tmp_path):
+    path = str(tmp_path / "sk.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real skew-symmetric\n")
+        f.write("3 3 2\n2 1 5.0\n3 2 -2.0\n")
+    B = load_matrix_market(path).toarray()
+    expected = np.array([[0, -5, 0], [5, 0, 2], [0, -2, 0]], dtype=float)
+    np.testing.assert_allclose(B, expected)
+
+
+def test_mtx_array_format(tmp_path):
+    path = str(tmp_path / "arr.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix array real general\n")
+        f.write("2 3\n")
+        # column-major body
+        for v in [1, 2, 3, 4, 5, 6]:
+            f.write(f"{v}.0\n")
+    B = load_matrix_market(path).toarray()
+    np.testing.assert_allclose(B, [[1, 3, 5], [2, 4, 6]])
+
+
+def test_mtx_integer_field(tmp_path):
+    path = str(tmp_path / "int.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate integer general\n")
+        f.write("2 2 2\n1 1 3\n2 2 7\n")
+    B = load_matrix_market(path).toarray()
+    np.testing.assert_allclose(B, [[3, 0], [0, 7]])
+
+
+def test_mtx_duplicate_entries_summed(tmp_path):
+    # triplet compression sums duplicates (reference Load/EndLoad)
+    path = str(tmp_path / "dup.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write("2 2 3\n1 1 1.5\n1 1 2.5\n2 2 1.0\n")
+    B = load_matrix_market(path).toarray()
+    np.testing.assert_allclose(B, [[4.0, 0], [0, 1.0]])
