@@ -331,3 +331,35 @@ class TestVmapSolve:
                 np.asarray(batched.W[i]), np.asarray(r.W),
                 rtol=1e-12, atol=1e-14,
             )
+
+
+class TestPrecisionParity:
+    """f32 solves must reach the same reconstruction quality as f64
+    (north-star: 'match relative reconstruction error within run-to-run
+    variance')."""
+
+    @pytest.mark.parametrize(
+        "alg", [NmfAlgorithm.MU, NmfAlgorithm.HALS, NmfAlgorithm.BPP]
+    )
+    def test_f32_matches_f64_quality(self, alg):
+        rng = Random(31)
+        m, n, k = 60, 50, 6
+        A = np.abs(random_matrix(m, n, rng))
+        W0 = random_matrix(m, k, rng)
+        H0 = random_matrix(k, n, rng)
+        rels = {}
+        for dt in ("float64", "float32"):
+            dd = jnp.dtype(dt)
+            opts = NmfOptions(
+                tol=1e-4, algorithm=alg, height=m, width=n, k=k,
+                min_iter=5, max_iter=1000, verbose=False, dtype=dt,
+            )
+            res = nmf_solve(
+                DenseAOp(jnp.asarray(A, dd)), jnp.asarray(W0, dd),
+                jnp.asarray(H0, dd), opts,
+            )
+            assert bool(res.success)
+            W = np.asarray(res.W, np.float64)
+            H = np.asarray(res.H, np.float64)
+            rels[dt] = np.linalg.norm(A - W @ H) / np.linalg.norm(A)
+        assert abs(rels["float32"] - rels["float64"]) < 2e-3, rels
