@@ -323,13 +323,77 @@ def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
     return priority_one, subset, W, H
 
 
+def _save_hier_checkpoint(path, tree, W_buffer, H_buffer, rng, stats,
+                          i_next, root_W=None, root_H=None):
+    """Atomic npz checkpoint of the full hierclust state (SURVEY §5.4:
+    'checkpoint = (W, H, iteration, RNG key, tree state)' — new scope
+    beyond the reference, which has no checkpointing)."""
+    import os
+    import pickle
+    import tempfile
+
+    payload = dict(tree.to_arrays())
+    payload["i_next"] = np.int64(i_next)
+    payload["nmf_count"] = np.int64(stats.nmf_count)
+    payload["max_count"] = np.int64(stats.max_count)
+    payload["rng_state"] = np.frombuffer(
+        pickle.dumps(rng.get_state()), dtype=np.uint8
+    )
+    for idx, (Wb, Hb) in enumerate(zip(W_buffer, H_buffer)):
+        if Wb is not None:
+            payload[f"Wbuf_{idx}"] = Wb
+            payload[f"Hbuf_{idx}"] = Hb
+    if root_W is not None:
+        payload["root_W"] = root_W
+        payload["root_H"] = root_H
+
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".hckpt.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _load_hier_checkpoint(path, node_count):
+    import pickle
+
+    with np.load(path, allow_pickle=False) as z:
+        arrs = {k: z[k] for k in z.files}
+    tree = Tree.from_arrays(arrs)
+    W_buffer = [None] * node_count
+    H_buffer = [None] * node_count
+    for idx in range(node_count):
+        if f"Wbuf_{idx}" in arrs:
+            W_buffer[idx] = arrs[f"Wbuf_{idx}"]
+            H_buffer[idx] = arrs[f"Hbuf_{idx}"]
+    rng_state = pickle.loads(bytes(arrs["rng_state"]))
+    root = (arrs.get("root_W"), arrs.get("root_H"))
+    return (tree, W_buffer, H_buffer, rng_state, int(arrs["i_next"]),
+            int(arrs["nmf_count"]), int(arrs["max_count"]), root)
+
+
 def clust_hier(A, opts: ClustOptions, rng: Random,
-               stats: ClustStats | None = None):
+               stats: ClustStats | None = None,
+               checkpoint_path: str | None = None,
+               _interrupt_after: int | None = None):
     """Build the hierarchical clustering tree.
 
     Reference: ClustHier (clust_hier_generic.hpp:77-238).
     Returns (tree, stats).
+
+    With `checkpoint_path`, the full engine state (tree, per-node factor
+    buffers, RNG stream, split counter) is checkpointed after the root
+    factorization and after every split; an existing checkpoint resumes
+    the run preemption-safely.  `_interrupt_after` is a test hook that
+    raises after N completed splits.
     """
+    import os
+
     stats = stats if stats is not None else ClustStats()
     opts.validate()
     dtype = jnp.dtype(opts.nmf_opts.dtype)
@@ -340,24 +404,42 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     num_clusters = opts.num_clusters
     node_count = 2 * (num_clusters - 1)
 
-    tree = Tree()
-    tree.init(num_clusters, node_count, m, n)
-
     inits = _InitializerSource(m, n, rng, opts.initdir, dtype=np.float64)
     runner = _Rank2Runner(a_op, opts, inits, stats, dtype)
 
-    # factor the root (<= 3 attempts)
-    W, H, ok = runner.solve(None)
-    if not ok:
-        raise RuntimeError(
-            "HierNMF2: root node factorization failed after three attempts"
+    W = H = None
+    start_i = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        (tree, W_buffer, H_buffer, rng_state, start_i,
+         stats.nmf_count, stats.max_count, root) = _load_hier_checkpoint(
+            checkpoint_path, node_count
         )
+        rng.set_state(rng_state)
+        if start_i == 0:
+            W, H = root
+    else:
+        tree = Tree()
+        tree.init(num_clusters, node_count, m, n)
 
-    W_buffer = [None] * node_count
-    H_buffer = [None] * node_count
+        # factor the root (<= 3 attempts)
+        W, H, ok = runner.solve(None)
+        if not ok:
+            raise RuntimeError(
+                "HierNMF2: root node factorization failed after three "
+                "attempts"
+            )
+
+        W_buffer = [None] * node_count
+        H_buffer = [None] * node_count
+        if checkpoint_path:
+            _save_hier_checkpoint(
+                checkpoint_path, tree, W_buffer, H_buffer, rng, stats, 0,
+                root_W=W, root_H=H,
+            )
+
     split_index = 0
 
-    for i in range(num_clusters - 1):
+    for i in range(start_i, num_clusters - 1):
         if i == 0:
             min_priority = np.inf
             tree.split_root(W, H)
@@ -392,6 +474,16 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
 
         if opts.verbose:
             print(f"[{i + 1}] ", end="", flush=True)
+
+        if checkpoint_path:
+            _save_hier_checkpoint(
+                checkpoint_path, tree, W_buffer, H_buffer, rng, stats,
+                i + 1,
+            )
+        if _interrupt_after is not None and (i + 1) >= _interrupt_after:
+            raise KeyboardInterrupt(
+                f"test interrupt after {i + 1} splits"
+            )
 
     tree.compute_top_terms(opts.maxterms)
     tree.compute_assignments()

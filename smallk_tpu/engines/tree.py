@@ -176,6 +176,89 @@ class Tree:
             W[:, c] = self.nodes[q].topic_vector
         return W
 
+    # --- serialization (checkpoint/resume support) ------------------------
+
+    def to_arrays(self) -> dict:
+        """Serialize the tree into flat arrays (for npz checkpoints)."""
+        nc = len(self.nodes)
+        out = {
+            "node_count": np.int64(nc),
+            "total_docs": np.int64(self.total_docs),
+            "term_count": np.int64(getattr(self, "term_count", 0)),
+            "active_nodes": np.int64(self.active_nodes),
+            "index0": np.int64(self.index0),
+            "index1": np.int64(self.index1),
+            "is_leaf": np.asarray(self.is_leaf, dtype=bool),
+            "priority": np.array([n.priority for n in self.nodes]),
+            "parent": np.array([n.parent_index for n in self.nodes],
+                               dtype=np.int64),
+            "left": np.array([n.left_child_index for n in self.nodes],
+                             dtype=np.int64),
+            "right": np.array([n.right_child_index for n in self.nodes],
+                              dtype=np.int64),
+            "is_valid": np.array([n.is_valid for n in self.nodes],
+                                 dtype=bool),
+            "is_left_child": np.array(
+                [n.is_left_child for n in self.nodes], dtype=bool
+            ),
+        }
+        docs = [
+            n.docs if n.docs is not None else np.empty(0, np.int64)
+            for n in self.nodes
+        ]
+        out["docs_flat"] = (
+            np.concatenate(docs) if docs else np.empty(0, np.int64)
+        )
+        out["docs_offsets"] = np.cumsum(
+            [0] + [len(d) for d in docs]
+        ).astype(np.int64)
+        out["has_docs"] = np.array(
+            [n.docs is not None for n in self.nodes], dtype=bool
+        )
+        tv = [
+            n.topic_vector if n.topic_vector is not None
+            else np.zeros(getattr(self, "term_count", 0))
+            for n in self.nodes
+        ]
+        out["topic_vectors"] = (
+            np.stack(tv, axis=1) if tv else np.zeros((0, 0))
+        )
+        out["has_tv"] = np.array(
+            [n.topic_vector is not None for n in self.nodes], dtype=bool
+        )
+        return out
+
+    @classmethod
+    def from_arrays(cls, arrs) -> "Tree":
+        """Rebuild a tree from to_arrays output."""
+        tree = cls()
+        nc = int(arrs["node_count"])
+        tree.total_docs = int(arrs["total_docs"])
+        tree.term_count = int(arrs["term_count"])
+        tree.active_nodes = int(arrs["active_nodes"])
+        tree.index0 = int(arrs["index0"])
+        tree.index1 = int(arrs["index1"])
+        tree.is_leaf = [bool(x) for x in arrs["is_leaf"]]
+        tree.nodes = []
+        offs = arrs["docs_offsets"]
+        for q in range(nc):
+            node = TreeNode(
+                priority=float(arrs["priority"][q]),
+                parent_index=int(arrs["parent"][q]),
+                left_child_index=int(arrs["left"][q]),
+                right_child_index=int(arrs["right"][q]),
+                is_valid=bool(arrs["is_valid"][q]),
+                is_left_child=bool(arrs["is_left_child"][q]),
+            )
+            if bool(arrs["has_docs"][q]):
+                node.docs = np.array(
+                    arrs["docs_flat"][offs[q]:offs[q + 1]], dtype=np.int64
+                )
+            if bool(arrs["has_tv"][q]):
+                node.topic_vector = np.array(arrs["topic_vectors"][:, q])
+            tree.nodes.append(node)
+        return tree
+
     def write_assignments(self, filepath: str) -> None:
         """Two-section CSV: labels (-1 for outliers), blank line, outlier
         indices (reference WriteAssignments, tree.hpp:464-506)."""

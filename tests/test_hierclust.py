@@ -200,3 +200,34 @@ class TestTreeWriters:
         data = json.loads(open(str(tmp_path / "tree_3.json")).read())
         assert data["doc_count"] == tree.leaf_doc_count
         assert len(data["nodes"]) == 4  # 2*(3-1)
+
+
+class TestHierCheckpoint:
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        """Interrupt after 2 splits, resume from checkpoint: the final
+        tree must equal the uninterrupted run's (same RNG stream)."""
+        A, _ = _planted_matrix(k=5, n=100)
+        opts = _clust_opts(5)
+
+        ref_tree, ref_stats = clust_hier(A, opts, Random(13))
+
+        ck = str(tmp_path / "hier.npz")
+        with pytest.raises(KeyboardInterrupt):
+            clust_hier(A, opts, Random(13), checkpoint_path=ck,
+                       _interrupt_after=2)
+        assert (tmp_path / "hier.npz").exists()
+
+        # fresh rng: its state is restored from the checkpoint
+        tree, stats = clust_hier(A, opts, Random(999), checkpoint_path=ck)
+        np.testing.assert_array_equal(tree.assignments,
+                                      ref_tree.assignments)
+        assert stats.nmf_count == ref_stats.nmf_count
+
+    def test_checkpoint_written_and_final(self, tmp_path):
+        A, _ = _planted_matrix(k=3)
+        opts = _clust_opts(3)
+        ck = str(tmp_path / "h.npz")
+        t1, _ = clust_hier(A, opts, Random(4), checkpoint_path=ck)
+        # resume-from-complete: loop body is skipped, results identical
+        t2, _ = clust_hier(A, opts, Random(5), checkpoint_path=ck)
+        np.testing.assert_array_equal(t1.assignments, t2.assignments)
