@@ -105,9 +105,11 @@ def bench_all():
     cols = rng_np.randint(0, 11237, 877_453)
     vals = rng_np.randint(1, 20, 877_453).astype(np.float64)
     P = sp.csc_matrix((vals, (rows, cols)), shape=(39771, 11237))
-    t0 = time.perf_counter()
-    preprocess_tf(P, docs_per_term=3, terms_per_doc=5, verbose=False)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):  # min-of-3: host-side timing is noisy next to TPU work
+        t0 = time.perf_counter()
+        preprocess_tf(P, docs_per_term=3, terms_per_doc=5, verbose=False)
+        dt = min(dt, time.perf_counter() - t0)
     out.append({
         "metric": "preprocess_20news_shape_wall_s",
         "value": round(dt, 3), "unit": "seconds",
