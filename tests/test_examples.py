@@ -1,0 +1,42 @@
+"""Smoke tests for the runnable examples (CPU; fast variants only)."""
+
+import os
+import runpy
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_example(relpath, argv):
+    path = os.path.join(REPO, relpath)
+    old_argv = sys.argv
+    sys.argv = [path] + argv
+    try:
+        runpy.run_path(path, run_name="__main__")
+    except SystemExit as e:  # examples may sys.exit(0)
+        assert not e.code
+    finally:
+        sys.argv = old_argv
+
+
+def test_smallkapi_inmem(capsys):
+    _run_example("examples/drivers/smallkapi_inmem.py", [])
+    out = capsys.readouterr().out
+    assert "dense W: (100, 8)" in out
+    assert "buffer W: (200, 4)" in out
+
+
+def test_hierclust_inmem(capsys):
+    _run_example("examples/drivers/hierclust_inmem.py", [])
+    out = capsys.readouterr().out
+    assert "clusters found:" in out
+    assert "top terms per leaf:" in out
+
+
+@pytest.mark.slow
+def test_smallk_example_synthetic(capsys):
+    _run_example("examples/smallk_example.py", ["--synthetic"])
+    out = capsys.readouterr().out
+    assert "HierNmf2" in out
