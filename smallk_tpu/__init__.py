@@ -310,6 +310,18 @@ def Nmf(k: int, algorithm: Algorithm = Algorithm.BPP,
         normalize=True,
         dtype=_state.dtype,
     )
+    # option dump before the run (reference PrintNmfOpts, smallk.cpp:872-920)
+    print("\n             parameters: \n")
+    print(f"\t         algorithm: {alg.value}")
+    print(f"\tstopping criterion: {prog.value}")
+    print(f"\t            height: {m}")
+    print(f"\t             width: {n}")
+    print(f"\t                 k: {k}")
+    print(f"\t           miniter: {opts.min_iter}")
+    print(f"\t           maxiter: {opts.max_iter}")
+    print(f"\t               tol: {opts.tol}")
+    print(f"\t        outputdir: {_state.output_dir}")
+
     stats = NmfStats()
     W, H, ok = run_nmf(A, W0, H0, opts, stats)
     if not ok:

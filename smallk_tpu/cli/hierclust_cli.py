@@ -80,10 +80,15 @@ def main(argv=None) -> int:
         initdir=args.initdir or None,
     )
 
+    import time
+
     stats = ClustStats()
+    t0 = time.perf_counter()
     tree, stats, flat = run_hier_nmf2(A, opts, Random(args.seed), stats)
+    elapsed = time.perf_counter() - t0
     converged = stats.nmf_count - stats.max_count
     print(f"{converged}/{stats.nmf_count} factorizations converged.")
+    print(f"Elapsed wall clock time: {elapsed:.3f} sec.")
 
     tree.write_assignments(os.path.join(outdir, assignfile))
     tree.write_tree(
