@@ -363,3 +363,44 @@ class TestPrecisionParity:
             H = np.asarray(res.H, np.float64)
             rels[dt] = np.linalg.norm(A - W @ H) / np.linalg.norm(A)
         assert abs(rels["float32"] - rels["float64"]) < 2e-3, rels
+
+
+class TestHighRankNnls:
+    def test_k128_matches_gj_and_converges(self):
+        """The k>64 Cholesky masked-solve path agrees with the GJ path and
+        the full NNLS still satisfies KKT."""
+        import smallk_tpu.solvers.nnls as nn
+
+        k, n = 96, 300
+        rng = np.random.RandomState(0)
+        Wf = rng.rand(3 * k, k)
+        LHS = jnp.asarray(Wf.T @ Wf + 1e-6 * np.eye(k), DTYPE)
+        RHS = jnp.asarray(Wf.T @ rng.rand(3 * k, n), DTYPE)
+        passive = jnp.asarray(rng.rand(k, n) > 0.4)
+
+        x_gj = nn._gj_solve_block(LHS, RHS, passive)
+        x_ch = nn._chol_solve_block(LHS, RHS, passive)
+        np.testing.assert_allclose(np.asarray(x_ch), np.asarray(x_gj),
+                                   rtol=1e-8, atol=1e-9)
+
+        X, Y, ok = nn.nnls_blockpivot(
+            LHS, RHS, jnp.asarray(rng.rand(k, n) - 0.3, DTYPE)
+        )
+        assert bool(ok)
+        X, Y = np.asarray(X), np.asarray(Y)
+        assert (X >= 0).all()
+        assert np.abs(X * Y).max() < 1e-5
+
+    def test_dead_topic_guarded_in_chol_path(self):
+        import smallk_tpu.solvers.nnls as nn
+
+        k, n = 80, 64
+        rng = np.random.RandomState(1)
+        Wf = rng.rand(3 * k, k)
+        Wf[:, 5] = 0.0  # dead topic
+        LHS = jnp.asarray(Wf.T @ Wf + 0.0, DTYPE)
+        RHS = jnp.asarray(Wf.T @ rng.rand(3 * k, n), DTYPE)
+        passive = jnp.ones((k, n), dtype=bool)
+        x = nn._chol_solve_block(LHS, RHS, passive)
+        assert not np.isnan(np.asarray(x)).any()
+        np.testing.assert_allclose(np.asarray(x)[5], 0.0, atol=1e-12)
