@@ -97,6 +97,51 @@ def bench_all():
         "vs_baseline": round(rate / 2128.0, 2),
     })
 
+    # community recovery quality (the dblp15 workflow, BASELINE config 3):
+    # hierclust on a planted-partition graph scored by NMI against ground
+    # truth.  vs_baseline is the NMI itself (target: ~1.0 at this
+    # signal-to-noise; the reference publishes no number to compare).
+    from smallk_tpu.engines.scoring import score_clustering
+
+    nodes, kc = 3000, 20
+    g_rng = np.random.RandomState(7)
+    labels_true = g_rng.randint(0, kc, nodes)
+    import scipy.sparse as sp2
+
+    rows, cols = [], []
+    # sparse planted partition: ~20 intra + ~2 inter edges per node
+    for c in range(kc):
+        members = np.where(labels_true == c)[0]
+        deg = 20 * len(members)
+        rows.append(g_rng.choice(members, deg))
+        cols.append(g_rng.choice(members, deg))
+    rows.append(g_rng.randint(0, nodes, 2 * nodes))
+    cols.append(g_rng.randint(0, nodes, 2 * nodes))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    G = sp2.csc_matrix(
+        (np.ones(len(r), np.float32), (r, c)), shape=(nodes, nodes)
+    )
+    G = ((G + G.T) > 0).astype(np.float32)
+    gopts = ClustOptions(
+        nmf_opts=NmfOptions(
+            tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+            prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+            min_iter=1, max_iter=5000, verbose=False, dtype="float32",
+            stall_patience=100,
+        ),
+        num_clusters=kc, verbose=False,
+    )
+    t0 = time.perf_counter()
+    gtree, _ = clust_hier(G, gopts, Random(3))
+    g_dt = time.perf_counter() - t0
+    report = score_clustering(gtree.assignments, labels_true)
+    out.append({
+        "metric": "community_recovery_nmi_3000n_20c",
+        "value": round(report["nmi"], 3), "unit": "nmi",
+        "vs_baseline": round(report["nmi"], 3),
+    })
+
     # preprocessor on a 20news-sized corpus (reference: 0.063 s prune+tfidf)
     import scipy.sparse as sp
 
