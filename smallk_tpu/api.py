@@ -193,10 +193,18 @@ class Clustering:
     def get_top_indices(self):
         return np.array(self.term_indices)
 
-    def get_top_terms(self):
-        if self.term_indices is None or self.dictionary is None:
+    def get_top_terms(self, filepath="", dictionary=None):
+        """Top terms as strings; optionally resolve against a dictionary
+        file or list instead of the loaded one (pysmallk get_top_terms,
+        pyx:1032)."""
+        if filepath:
+            with open(filepath) as f:
+                dictionary = [ln for ln in f.read().split("\n") if ln]
+        if dictionary is None:
+            dictionary = self.dictionary
+        if self.term_indices is None or dictionary is None:
             raise RuntimeError("no top terms computed")
-        return [self.dictionary[int(i)] for i in
+        return [dictionary[int(i)] for i in
                 np.asarray(self.term_indices).ravel()]
 
     @staticmethod
