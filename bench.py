@@ -1,8 +1,9 @@
 """Benchmark: NMF-BPP iterations/sec on a reuters-shaped sparse corpus.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-With --all, additional JSON lines for secondary workloads (hierclust,
-HALS, preprocessor) follow the headline line.
+Prints one JSON line per metric — secondary workloads (hierclust, HALS,
+high-rank BPP, community NMI, preprocessor) first, then the HEADLINE line
+LAST: {"metric", "value", "unit", "vs_baseline"}.  Pass --headline-only
+to skip the secondary metrics.
 
 Baseline (BASELINE.md): reference smallk NMF-BPP on reuters.mtx
 (12411 x 7984 sparse, k=8) converged in 22 iterations / 0.633 s on an
@@ -34,29 +35,17 @@ def bench_all():
 
     out = []
 
-    # hierclust: reuters-shaped corpus to 12 leaves (reference: 2.758 s on
-    # real reuters).  The corpus has planted cluster structure — real
-    # term-doc matrices are clustered, and rank-2 convergence rates depend
-    # on it (structureless noise needs ~10x more iterations than reuters).
-    m, n, n_blocks = 12411, 7984, 16
-    rng_np = np.random.RandomState(2024)
-    A = random_sparse_matrix(Random(2024), m, n, nz_per_col=40,
-                             dtype=np.float32).tolil()
-    import scipy.sparse as _sp
+    # hierclust: reuters-statistics corpus to 12 leaves (reference: 2.758 s
+    # on real reuters, pages_tests.rst:189-213).  The corpus generator
+    # (engines/corpus.py) matches the statistics that drive rank-2
+    # convergence — Zipf document frequencies, log-normal doc lengths,
+    # tf-idf unit columns, hierarchically-nested clusters — so per-node
+    # iteration counts are comparable to the real corpus (tens to a few
+    # hundred at tol 1e-4), making the wall-clock comparison defensible.
+    from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
 
-    block_rows = np.array_split(np.arange(m), n_blocks)
-    block_cols = np.array_split(rng_np.permutation(n), n_blocks)
-    extra_r, extra_c, extra_v = [], [], []
-    for br, bc in zip(block_rows, block_cols):
-        cnt = 40 * len(bc)
-        extra_r.append(rng_np.choice(br, cnt))
-        extra_c.append(np.repeat(bc, 40))
-        extra_v.append(1.0 + 8.0 * rng_np.rand(cnt))
-    A = (A.tocsc() + _sp.csc_matrix(
-        (np.concatenate(extra_v),
-         (np.concatenate(extra_r), np.concatenate(extra_c))),
-        shape=(m, n),
-    )).tocsc()
+    m, n = 12411, 7984
+    A, _labels = synthetic_term_doc_corpus(m, n, 16, seed=11)
     copts = ClustOptions(
         nmf_opts=NmfOptions(
             tol=1e-4, algorithm=NmfAlgorithm.RANK2,
@@ -210,16 +199,19 @@ def main():
     assert int(res.iterations) == iters, "benchmark must run all iterations"
     its_per_sec = int(res.iterations) / elapsed
     baseline = 22 / 0.633  # reference: 22 iters in 0.633 s
+
+    # secondary metrics first so the driver's log captures the full
+    # picture; the headline line is printed LAST (the driver records it)
+    if "--headline-only" not in sys.argv:
+        for line in bench_all():
+            print(json.dumps(line), flush=True)
+
     print(json.dumps({
         "metric": "nmf_bpp_iters_per_sec_reuters_shape_k8",
         "value": round(its_per_sec, 2),
         "unit": "iterations/sec",
         "vs_baseline": round(its_per_sec / baseline, 2),
     }))
-
-    if "--all" in sys.argv:
-        for line in bench_all():
-            print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -477,7 +477,283 @@ PyObject* preprocess_prune(PyObject*, PyObject* args) {
   return Py_BuildValue("(NNNNN)", ip_arr, ix_arr, dv_arr, rk_arr, ck_arr);
 }
 
+// --------------------------------------------------------------------------
+// preprocess_full(indptr, indices, data float64[nnz], height,
+//                 docs_per_term, terms_per_doc, max_iter, boolean_mode)
+//   -> (indptr' i32[n'+1], indices' i32[nnz'], tf f64[nnz'],
+//       scores f64[nnz'], term_keep bool[m], doc_keep bool[n])
+//
+// The WHOLE reference preprocessor pipeline (preprocess.cpp:81-253) in one
+// native call: round-to-int counts (boolean mode: presence), the
+// prune/dedupe fixpoint loop, then tf-idf scoring with unit-L2 columns.
+// Single int32 index space, fused row+column prune compaction (one pass),
+// dedup hashing computed during that same pass.  Returned `indices` are
+// renumbered compactly; keep masks map back to original ids.
+// --------------------------------------------------------------------------
+PyObject* preprocess_full(PyObject*, PyObject* args) {
+  PyObject *indptr_o, *indices_o, *data_o;
+  long long height, docs_per_term, terms_per_doc, max_iter;
+  int boolean_mode;
+  if (!PyArg_ParseTuple(args, "OOOLLLLp", &indptr_o, &indices_o, &data_o,
+                        &height, &docs_per_term, &terms_per_doc, &max_iter,
+                        &boolean_mode)) {
+    return nullptr;
+  }
+  PyArrayObject* indptr = (PyArrayObject*)PyArray_FROM_OTF(
+      indptr_o, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* indices = (PyArrayObject*)PyArray_FROM_OTF(
+      indices_o, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* data = (PyArrayObject*)PyArray_FROM_OTF(
+      data_o, NPY_FLOAT64, NPY_ARRAY_IN_ARRAY);
+  if (!indptr || !indices || !data) {
+    Py_XDECREF(indptr);
+    Py_XDECREF(indices);
+    Py_XDECREF(data);
+    return nullptr;
+  }
+  const int32_t m = static_cast<int32_t>(height);
+  const int64_t n0 = PyArray_DIM(indptr, 0) - 1;
+  const int64_t* ip64 = static_cast<const int64_t*>(PyArray_DATA(indptr));
+  const int32_t* ix0 = static_cast<const int32_t*>(PyArray_DATA(indices));
+  const double* dv0 = static_cast<const double*>(PyArray_DATA(data));
+  const int64_t nnz0 = ip64[n0];
+
+  bool all_pruned = false;
+  std::vector<int32_t> ip(n0 + 1), ix, col_orig(n0);
+  std::vector<double> dv;
+  std::vector<unsigned char> row_alive(m, 1);
+  int64_t n = n0;  // surviving column count (shrinks in the loop below)
+
+  Py_BEGIN_ALLOW_THREADS
+  ix.reserve(nnz0);
+  dv.reserve(nnz0);
+  // ingest: round counts (or booleanize), drop zeros
+  {
+    size_t w = 0;
+    ix.resize(nnz0);
+    dv.resize(nnz0);
+    for (int64_t j = 0; j < n0; ++j) {
+      ip[j] = static_cast<int32_t>(w);
+      for (int64_t t = ip64[j]; t < ip64[j + 1]; ++t) {
+        // boolean mode: every STORED entry counts as presence (the
+        // reference booleanizes structural nonzeros,
+        // term_frequency_matrix.cpp)
+        double v = boolean_mode ? 1.0 : std::nearbyint(dv0[t]);
+        if (v != 0.0) {
+          ix[w] = ix0[t];
+          dv[w] = v;
+          ++w;
+        }
+      }
+      col_orig[j] = static_cast<int32_t>(j);
+    }
+    ip[n0] = static_cast<int32_t>(w);
+    ix.resize(w);
+    dv.resize(w);
+  }
+
+  std::vector<double> occ(m);
+  std::vector<int32_t> df(m);
+  std::vector<uint64_t> hashes;
+  std::unordered_map<uint64_t, std::vector<int32_t>> groups;
+  for (long long it = 0; it < max_iter; ++it) {
+    // --- row stats ---
+    std::fill(occ.begin(), occ.end(), 0.0);
+    std::fill(df.begin(), df.end(), 0);
+    const size_t nz = ix.size();
+    for (size_t t = 0; t < nz; ++t) {
+      occ[ix[t]] += dv[t];
+      df[ix[t]] += 1;
+    }
+    bool rows_changed = false;
+    for (int32_t r = 0; r < m; ++r) {
+      if (!row_alive[r]) continue;
+      if (occ[r] < docs_per_term || df[r] >= n) {
+        row_alive[r] = 0;
+        rows_changed = true;
+      }
+    }
+
+    // --- fused row-filter + column-prune compaction, hashing on the fly
+    bool cols_changed = false;
+    hashes.clear();
+    hashes.reserve(n);
+    {
+      size_t w = 0;
+      int64_t jw = 0;
+      for (int64_t j = 0; j < n; ++j) {
+        int32_t lo = ip[j], hi = ip[j + 1];
+        size_t start = w;
+        if (rows_changed) {
+          for (int32_t t = lo; t < hi; ++t) {
+            if (row_alive[ix[t]]) {
+              ix[w] = ix[t];
+              dv[w] = dv[t];
+              ++w;
+            }
+          }
+        } else {
+          if (w != static_cast<size_t>(lo)) {
+            memmove(ix.data() + w, ix.data() + lo,
+                    (hi - lo) * sizeof(int32_t));
+            memmove(dv.data() + w, dv.data() + lo,
+                    (hi - lo) * sizeof(double));
+          }
+          w += hi - lo;
+        }
+        int64_t len = static_cast<int64_t>(w - start);
+        if (len < terms_per_doc) {
+          w = start;  // drop this column
+          cols_changed = true;
+          continue;
+        }
+        uint64_t h = fnv1a(
+            reinterpret_cast<const unsigned char*>(ix.data() + start),
+            static_cast<size_t>(len) * sizeof(int32_t));
+        h = fnv1a(reinterpret_cast<const unsigned char*>(dv.data() + start),
+                  static_cast<size_t>(len) * sizeof(double), h);
+        h ^= static_cast<uint64_t>(len) * 0x9e3779b97f4a7c15ull;
+        hashes.push_back(h);
+        ip[jw] = static_cast<int32_t>(start);
+        col_orig[jw] = col_orig[j];
+        ++jw;
+      }
+      ip[jw] = static_cast<int32_t>(w);
+      n = jw;
+      ix.resize(w);
+      dv.resize(w);
+    }
+    if (n == 0) { all_pruned = true; break; }
+
+    // --- duplicate columns: keep max original index per group ---
+    groups.clear();
+    groups.reserve(static_cast<size_t>(n) * 2);
+    for (int64_t j = 0; j < n; ++j)
+      groups[hashes[j]].push_back(static_cast<int32_t>(j));
+    std::vector<unsigned char> keep_col(n, 1);
+    bool dedup_changed = false;
+    for (auto& kv : groups) {
+      auto& cols = kv.second;
+      if (cols.size() < 2) continue;
+      for (size_t a = 0; a < cols.size(); ++a) {
+        if (!keep_col[cols[a]]) continue;
+        for (size_t b = a + 1; b < cols.size(); ++b) {
+          if (!keep_col[cols[b]]) continue;
+          int32_t ja = cols[a], jb = cols[b];
+          int32_t la = ip[ja + 1] - ip[ja], lb = ip[jb + 1] - ip[jb];
+          if (la != lb) continue;
+          if (memcmp(ix.data() + ip[ja], ix.data() + ip[jb],
+                     la * sizeof(int32_t)) != 0)
+            continue;
+          if (memcmp(dv.data() + ip[ja], dv.data() + ip[jb],
+                     la * sizeof(double)) != 0)
+            continue;
+          keep_col[ja] = 0;  // later (higher original index) col survives
+          dedup_changed = true;
+          break;
+        }
+      }
+    }
+    if (dedup_changed) {
+      size_t w = 0;
+      int64_t jw = 0;
+      for (int64_t j = 0; j < n; ++j) {
+        if (!keep_col[j]) continue;
+        int32_t lo = ip[j], hi = ip[j + 1];
+        if (w != static_cast<size_t>(lo)) {
+          memmove(ix.data() + w, ix.data() + lo, (hi - lo) * sizeof(int32_t));
+          memmove(dv.data() + w, dv.data() + lo, (hi - lo) * sizeof(double));
+        }
+        ip[jw] = static_cast<int32_t>(w);
+        col_orig[jw] = col_orig[j];
+        w += hi - lo;
+        ++jw;
+      }
+      ip[jw] = static_cast<int32_t>(w);
+      n = jw;
+      ix.resize(w);
+      dv.resize(w);
+    }
+
+    if (!cols_changed && !dedup_changed) break;
+  }
+  Py_END_ALLOW_THREADS
+
+  Py_DECREF(indptr);
+  Py_DECREF(indices);
+  Py_DECREF(data);
+  if (all_pruned) {
+    PyErr_SetString(PyExc_ValueError,
+                    "Preprocessor: all columns were pruned.");
+    return nullptr;
+  }
+
+  // --- compact row renumbering + tf-idf scores + unit-L2 columns ---
+  std::vector<int32_t> new_row(m);
+  int32_t mh = 0;
+  for (int32_t r = 0; r < m; ++r) new_row[r] = row_alive[r] ? mh++ : -1;
+
+  npy_intp d_ip[1] = {n + 1};
+  npy_intp d_nz[1] = {static_cast<npy_intp>(ix.size())};
+  npy_intp d_m[1] = {m};
+  npy_intp d_n[1] = {n0};
+  PyObject* ip_arr = PyArray_SimpleNew(1, d_ip, NPY_INT32);
+  PyObject* ix_arr = PyArray_SimpleNew(1, d_nz, NPY_INT32);
+  PyObject* tf_arr = PyArray_SimpleNew(1, d_nz, NPY_FLOAT64);
+  PyObject* sc_arr = PyArray_SimpleNew(1, d_nz, NPY_FLOAT64);
+  PyObject* rk_arr = PyArray_SimpleNew(1, d_m, NPY_BOOL);
+  PyObject* ck_arr = PyArray_SimpleNew(1, d_n, NPY_BOOL);
+  if (!ip_arr || !ix_arr || !tf_arr || !sc_arr || !rk_arr || !ck_arr) {
+    Py_XDECREF(ip_arr); Py_XDECREF(ix_arr); Py_XDECREF(tf_arr);
+    Py_XDECREF(sc_arr); Py_XDECREF(rk_arr); Py_XDECREF(ck_arr);
+    return nullptr;
+  }
+  int32_t* ip_out = static_cast<int32_t*>(PyArray_DATA((PyArrayObject*)ip_arr));
+  int32_t* ix_out = static_cast<int32_t*>(PyArray_DATA((PyArrayObject*)ix_arr));
+  double* tf_out = static_cast<double*>(PyArray_DATA((PyArrayObject*)tf_arr));
+  double* sc_out = static_cast<double*>(PyArray_DATA((PyArrayObject*)sc_arr));
+  npy_bool* rk = static_cast<npy_bool*>(PyArray_DATA((PyArrayObject*)rk_arr));
+  npy_bool* ck = static_cast<npy_bool*>(PyArray_DATA((PyArrayObject*)ck_arr));
+
+  Py_BEGIN_ALLOW_THREADS
+  memcpy(ip_out, ip.data(), (n + 1) * sizeof(int32_t));
+  // final per-row document frequency (over the surviving matrix)
+  std::vector<int32_t> dff(mh, 0);
+  const size_t nz = ix.size();
+  for (size_t t = 0; t < nz; ++t) {
+    ix_out[t] = new_row[ix[t]];
+    dff[ix_out[t]] += 1;
+  }
+  std::vector<double> idf(mh);
+  const double logw = std::log(static_cast<double>(n));
+  for (int32_t r = 0; r < mh; ++r)
+    idf[r] = logw - std::log(static_cast<double>(dff[r]));
+  for (int64_t j = 0; j < n; ++j) {
+    double ss = 0.0;
+    for (int32_t t = ip[j]; t < ip[j + 1]; ++t) {
+      double s = (1.0 + std::log(dv[t])) * idf[ix_out[t]];
+      sc_out[t] = s;
+      tf_out[t] = dv[t];
+      ss += s * s;
+    }
+    if (ss > 0.0) {
+      double inv = 1.0 / std::sqrt(ss);
+      for (int32_t t = ip[j]; t < ip[j + 1]; ++t) sc_out[t] *= inv;
+    }
+  }
+  for (int32_t r = 0; r < m; ++r) rk[r] = row_alive[r] ? NPY_TRUE : NPY_FALSE;
+  memset(ck, 0, n0 * sizeof(npy_bool));
+  for (int64_t j = 0; j < n; ++j) ck[col_orig[j]] = NPY_TRUE;
+  Py_END_ALLOW_THREADS
+
+  return Py_BuildValue("(NNNNNN)", ip_arr, ix_arr, tf_arr, sc_arr, rk_arr,
+                       ck_arr);
+}
+
 PyMethodDef methods[] = {
+    {"preprocess_full", preprocess_full, METH_VARARGS,
+     "Full reference preprocessor pipeline (prune/dedupe/tf-idf) on CSC "
+     "buffers."},
     {"preprocess_prune", preprocess_prune, METH_VARARGS,
      "Reference prune/dedupe loop on CSC buffers; returns pruned CSC + "
      "row/col keep masks."},

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--assignfile", default="")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dtype", default="float32")
+    # extension beyond the reference CLI: node initializer policy
+    # (spectral = NNDSVD from the node's top-2 singular pair)
+    p.add_argument("--init", default="random",
+                   choices=["random", "spectral"])
     return p
 
 
@@ -78,6 +82,7 @@ def main(argv=None) -> int:
         verbose=bool(args.verbose),
         flat=bool(args.flat),
         initdir=args.initdir or None,
+        init_method=args.init,
     )
 
     import time

@@ -148,9 +148,23 @@ class ClustOptions:
     verbose: bool = True
     flat: bool = False
     initdir: Optional[str] = None
+    # Node-initializer policy (extension beyond the reference, which only
+    # has uniform random, clust_hier_generic.hpp:548-566):
+    #   "random"   — reference behavior (default).  Different seeds explore
+    #     different local optima, which matters on spectrally-degenerate
+    #     operands (e.g. balanced community graphs, sigma2 ~= sigma3).
+    #   "spectral" — rank-2 init from the node's top-2 singular pair
+    #     (solvers/rank2.spectral_init_rank2); cuts iteration counts on
+    #     text-like corpora, but is deterministic — it always lands in the
+    #     same basin, so prefer "random" when split quality on degenerate
+    #     data matters more than speed.  Retries and initdir runs always
+    #     use the reference's random/file initializers.
+    init_method: str = "random"
 
     def validate(self) -> None:
         """Mirrors reference ClustOptions::IsValid (hierclust/src/clust_options.cpp)."""
+        if self.init_method not in ("spectral", "random"):
+            raise ValueError("clust: init_method must be 'spectral' or 'random'")
         if self.num_clusters < 2:
             raise ValueError("clust: number of clusters must be >= 2")
         if self.maxterms < 1:

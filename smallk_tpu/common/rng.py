@@ -61,6 +61,10 @@ class Random:
         u = self._rs.random_sample(size=shape)
         return (center + radius * (2.0 * u - 1.0)).astype(dtype)
 
+    def choice(self, n: int, size: int, replace: bool = False) -> np.ndarray:
+        """Sample indices from range(n), advancing the engine stream."""
+        return self._rs.choice(n, size=size, replace=replace)
+
     def get_state(self):
         """RNG state accessor (reference Random::GetState, random.hpp:27)."""
         return self._rs.get_state()

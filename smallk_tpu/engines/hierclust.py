@@ -159,11 +159,23 @@ class _Rank2Runner:
             H0s[i, :, : len(s)] = H0[:, s]
 
         nmf_opts = self.opts.nmf_opts
-        res = jax.vmap(
-            lambda A, W0, H0: _nmf_solve_impl(
-                DenseAOp(A), W0, H0, nmf_opts, False
-            )
-        )(A_pair, jnp.asarray(W0s, self.dtype), jnp.asarray(H0s, self.dtype))
+        spectral = self.opts.init_method == "spectral"
+
+        def one(A, W0, H0):
+            op = DenseAOp(A)
+            pg0 = None
+            if spectral:
+                from ..solvers.rank2 import spectral_init_rank2
+                from ..solvers.solve import reference_pg1
+
+                # tolerance stays anchored to the random-start PG_1 scale
+                pg0 = reference_pg1(op, W0, H0, nmf_opts)
+                W0, H0 = spectral_init_rank2(op, H0)
+            return _nmf_solve_impl(op, W0, H0, nmf_opts, False, pg0)
+
+        res = jax.vmap(one)(
+            A_pair, jnp.asarray(W0s, self.dtype), jnp.asarray(H0s, self.dtype)
+        )
 
         out = []
         for i, s in enumerate(subsets):
@@ -202,17 +214,35 @@ class _Rank2Runner:
                 mask[subset] = 1.0
                 a_op = MaskedAOp(self.a_op, jnp.asarray(mask))
 
-        for _ in range(max_attempts):
+        for attempt in range(max_attempts):
             W0, H0 = self.inits.next()
             if bucket is not None:
                 H0b = np.zeros((2, bucket), dtype=H0.dtype)
                 H0b[:, : len(subset)] = H0[:, subset]
                 H0 = H0b
+            W0 = jnp.asarray(W0, self.dtype)
+            H0 = jnp.asarray(H0, self.dtype)
+            pg0 = None
+            # spectral init on the first attempt only: retries mean the
+            # spectral start failed (degenerate second singular pair) and
+            # the reference's random restart is the escape hatch
+            if (attempt == 0 and not self.inits.initdir
+                    and self.opts.init_method == "spectral"):
+                from ..solvers.rank2 import spectral_init_rank2
+                from ..solvers.solve import reference_pg1
+
+                W0s, H0s = spectral_init_rank2(a_op, H0)
+                if bool(jnp.all(jnp.isfinite(W0s))
+                        & (jnp.linalg.norm(W0s, axis=0) > 0).all()):
+                    # tolerance anchored to the random-start PG_1 scale
+                    pg0 = reference_pg1(a_op, W0, H0, nmf_opts)
+                    W0, H0 = W0s, H0s
             res = nmf_solve(
                 a_op,
-                jnp.asarray(W0, self.dtype),
-                jnp.asarray(H0, self.dtype),
+                W0,
+                H0,
                 nmf_opts,
+                pg0_hint=pg0,
             )
             if bool(res.success):
                 self.stats.nmf_count += 1

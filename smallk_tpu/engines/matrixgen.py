@@ -66,18 +66,19 @@ def generate(
     if kind == "ZEROS":
         return np.zeros((height, width), dtype=dtype)
 
-    # SPARSE: nz_per_col random nonzeros in each column
-    # (reference RandomSparseMatrix, sparse_matrix_ops.hpp:317)
+    # SPARSE: nz_per_col random nonzeros in each column.  Drawn from the
+    # live engine stream — the reference's RandomSparseMatrix advances the
+    # ongoing Random engine (sparse_matrix_ops.hpp:317), so two calls on
+    # the same Random instance must produce different matrices.
     nz_per_col = max(1, min(int(nz_per_col), height))
     rows = np.empty(nz_per_col * width, dtype=np.int64)
     vals = np.empty(nz_per_col * width, dtype=dtype)
     cols = np.repeat(np.arange(width, dtype=np.int64), nz_per_col)
-    rs = np.random.RandomState(rng.seed)
     for c in range(width):
-        sel = rs.choice(height, size=nz_per_col, replace=False)
+        sel = rng.choice(height, size=nz_per_col, replace=False)
         rows[c * nz_per_col : (c + 1) * nz_per_col] = sel
-        vals[c * nz_per_col : (c + 1) * nz_per_col] = (
-            center + radius * (2.0 * rs.random_sample(nz_per_col) - 1.0)
+        vals[c * nz_per_col : (c + 1) * nz_per_col] = rng.uniform(
+            nz_per_col, center, radius, dtype
         )
     return sp.csc_matrix((vals, (rows, cols)), shape=(height, width), dtype=dtype)
 

@@ -83,6 +83,37 @@ def preprocess_tf(
     A: scipy sparse (m x n) of nonnegative term counts.
     Returns a PreprocessResult; raises ValueError if everything is pruned.
     """
+    if _native is not None and hasattr(_native, "preprocess_full"):
+        # whole pipeline (round/booleanize + prune/dedupe loop + tf-idf +
+        # unit-L2 columns) in ONE native call on the raw CSC buffers — no
+        # scipy reconstruction between stages (reference speed class:
+        # preprocess.cpp does 877K nz in 63 ms)
+        M0 = A if sp.issparse(A) and A.format == "csc" else sp.csc_matrix(A)
+        if not M0.has_sorted_indices:
+            M0 = M0.copy()
+            M0.sort_indices()
+        m, n = M0.shape
+        ip, ix, tf, scores, row_keep, col_keep = _native.preprocess_full(
+            np.asarray(M0.indptr, np.int64),
+            np.asarray(M0.indices, np.int32),
+            np.asarray(M0.data, np.float64),
+            m, docs_per_term, terms_per_doc, max_iter, bool(boolean_mode),
+        )
+        row_keep = np.asarray(row_keep, bool)
+        col_keep = np.asarray(col_keep, bool)
+        shape = (int(row_keep.sum()), int(col_keep.sum()))
+        tf_m = sp.csc_matrix((tf.astype(np.int64), ix, ip), shape=shape)
+        sc_m = sp.csc_matrix((scores, ix, ip), shape=shape)
+        if verbose:
+            print(f"\t[native] height: {shape[0]}, width: {shape[1]}, "
+                  f"nonzeros: {sc_m.nnz}")
+        return PreprocessResult(
+            matrix=sc_m,
+            tf_matrix=tf_m,
+            term_indices=np.where(row_keep)[0],
+            doc_indices=np.where(col_keep)[0],
+        )
+
     M = sp.csc_matrix(A, copy=True)
     M.sort_indices()
     M.data = np.asarray(np.round(M.data), dtype=np.int64)

@@ -58,6 +58,20 @@ _GJ_BYTES_BUDGET = 256 * 1024 * 1024
 # and k=128 on TPU v5e: GJ 779 ms vs Cholesky 200 ms at k=128, n=7984).
 _GJ_MAX_K = 64
 
+# Above this rank the compact-passive path takes over: each column's
+# passive indices are gathered into an S x S subsystem (S << k) solved by
+# the same unrolled GJ.  Rationale (measured on a k=128 BPP run, see
+# docs/benchmarks.md): passive sets are SMALL (mean ~30 of 128, p95 ~46)
+# and essentially every column's pattern is DISTINCT (2048/2048), so the
+# reference's GroupIdenticalColumns trick (bit_matrix.hpp:79,
+# nmf_solver_bpp.hpp:29-145) would find nothing to group at high rank —
+# but compacting each subsystem to its own passive support cuts the
+# masked-solve work from O(n k^3) to O(n S^3).  Columns whose passive set
+# exceeds S go to a narrow full-rank overflow tier; if even that
+# overflows, the call escalates to the full-width full-rank path, so the
+# result is exact for every passive configuration.
+_COMPACT_MIN_K = 48
+
 
 def _chol_solve_block(LHS, RHS, passive):
     """Masked solve via batched lax.linalg Cholesky ((n, k, k) layout)."""
@@ -93,7 +107,12 @@ def _masked_cholesky_solve(LHS, RHS, passive):
     """
     k, n = RHS.shape
     elem = jnp.dtype(LHS.dtype).itemsize
-    block = _gj_solve_block if k <= _GJ_MAX_K else _chol_solve_block
+    if k >= _COMPACT_MIN_K:
+        block = _compact_solve_block
+    elif k <= _GJ_MAX_K:
+        block = _gj_solve_block
+    else:
+        block = _chol_solve_block
     if k * (k + 1) * n * elem <= _GJ_BYTES_BUDGET:
         return block(LHS, RHS, passive)
 
@@ -137,8 +156,11 @@ def _gj_solve_block(LHS, RHS, passive):
     # Layout (k, k+1, n): the n-sized batch axis is last, so every
     # elimination step is a full-lane VPU op; (n, k, k) layouts pad the tiny
     # k x k minor dims to the (8, 128) tile and waste >90% of the lanes.
+    # LHS may be shared (k, k) or per-column (k, k, n) — the compact path
+    # gathers a different passive submatrix per column.
+    lhs3 = LHS if LHS.ndim == 3 else LHS[:, :, None]
     M = (
-        LHS[:, :, None] * (p[:, None, :] * p[None, :, :])
+        lhs3 * (p[:, None, :] * p[None, :, :])
         + eye[:, :, None] * (1.0 - p)[:, None, :]
     )  # (k, k, n)
     b = RHS * p  # (k, n)
@@ -170,6 +192,67 @@ def _gj_solve_block(LHS, RHS, passive):
         aug = aug - factors[:, None, :] * row_j[None, :, :]
         aug = aug.at[j].set(row_j)
     return aug[:, k, :]  # (k, n)
+
+
+def _compact_width(k: int) -> int:
+    """Compacted subsystem rank: covers the p95 passive-set size with slack
+    (measured k=128 BPP: mean ~30, p95 ~46 — see _COMPACT_MIN_K note)."""
+    return int(min(k, max(32, ((k // 2 + 7) // 8) * 8)))
+
+
+def _compact_solve_block(LHS, RHS, passive):
+    """Masked SPD solve via per-column passive-support compaction.
+
+    Columns are solved in an S x S subsystem (S = _compact_width(k))
+    gathered from each column's passive indices; columns with more than S
+    passive entries are re-solved in a narrow full-rank overflow tier, and
+    the whole call escalates to the full-width full-rank path if the
+    overflow tier itself is too narrow.  Exact for every input: the
+    compacted GJ performs the same elimination sequence as the full masked
+    GJ restricted to the passive rows (increasing index order).
+    """
+    k, n = RHS.shape
+    dtype = LHS.dtype
+    S = _compact_width(k)
+    cols = jnp.arange(n)
+
+    # passive indices first, in increasing order (stable sort of ~passive)
+    order = jnp.argsort(~passive, axis=0, stable=True)  # (k, n)
+    idx = order[:S]  # (S, n)
+    m = jnp.take_along_axis(passive, idx, axis=0)  # (S, n): s < s_j
+    sub = LHS[idx[:, None, :], idx[None, :, :]]  # (S, S, n)
+    rhs_sub = jnp.take_along_axis(RHS, idx, axis=0)  # (S, n)
+    x_sub = _gj_solve_block(sub, rhs_sub, m)  # (S, n)
+    safe_idx = jnp.where(m, idx, k)  # pad rows -> dropped by the scatter
+    X = jnp.zeros((k, n), dtype).at[safe_idx, cols[None, :]].set(
+        x_sub, mode="drop"
+    )
+
+    # overflow tier: columns with s_j > S, full rank, fixed narrow width
+    over = jnp.sum(passive, axis=0) > S  # (n,)
+    n_over = jnp.sum(over)
+
+    def no_overflow(X):
+        return X
+
+    def overflow_tier(X):
+        NO = min(n, max(128, n // 16))
+        oids = jnp.argsort(~over, stable=True)[:NO]  # overflow cols first
+        full = _gj_solve_block if k <= _GJ_MAX_K else _chol_solve_block
+        Xo = full(LHS, RHS[:, oids], passive[:, oids])  # (k, NO)
+        keep = over[oids][None, :]
+        Xo = jnp.where(keep, Xo, X[:, oids])
+        X = X.at[:, oids].set(Xo)
+
+        def fits(X):
+            return X
+
+        def escalate(_):
+            return full(LHS, RHS, passive)
+
+        return jax.lax.cond(n_over <= NO, fits, escalate, X)
+
+    return jax.lax.cond(n_over == 0, no_overflow, overflow_tier, X)
 
 
 def nnls_blockpivot(LHS, RHS, Xinit):

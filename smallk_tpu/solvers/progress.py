@@ -28,11 +28,18 @@ def prog_init(method: NmfProgressAlgorithm, W):
     raise ValueError(f"unknown progress method {method}")
 
 
-def prog_update(method: NmfProgressAlgorithm, it, W, H, gradW, gradH, state):
-    """Returns (metric, new_state).  `it` is the 0-based iteration index."""
+def prog_update(method: NmfProgressAlgorithm, it, W, H, gradW, gradH, state,
+                have_pg0: bool = False):
+    """Returns (metric, new_state).  `it` is the 0-based iteration index.
+
+    `have_pg0` (static): the PG_RATIO denominator was supplied externally
+    (e.g. the PG of a random start when the solve itself begins from a
+    spectral initializer, solvers/rank2.spectral_init_rank2) — iteration 0
+    then measures against it instead of priming it.
+    """
     if method == NmfProgressAlgorithm.PG_RATIO:
         pg = projected_gradient_norm(gradW, gradH, W, H)
-        is_first = it == 0
+        is_first = (it == 0) & (not have_pg0)
         pg0 = jnp.where(is_first, pg, state)
         metric = jnp.where(is_first, jnp.ones_like(pg), pg / pg0)
         return metric, pg0

@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..common.options import NmfAlgorithm, NmfOptions
+from ..common.options import NmfAlgorithm, NmfOptions, NmfProgressAlgorithm
 from ..ops.dense import normalize_and_scale
 from . import bpp, hals, mu, rank2
 from .progress import prog_init, prog_update
@@ -93,26 +93,48 @@ def get_solver(algorithm: NmfAlgorithm):
     return _SOLVERS[algorithm]
 
 
-def nmf_solve(a_op, W0, H0, opts: NmfOptions) -> SolveResult:
+def nmf_solve(a_op, W0, H0, opts: NmfOptions, pg0_hint=None) -> SolveResult:
     """Run the NMF iteration loop on device.
 
     `opts` is static: each (algorithm, shape) pair compiles once and is
     cached; hierclust reuses one compiled rank-2 loop for every tree node.
+
+    `pg0_hint`: optional externally-supplied PG_RATIO denominator (the
+    first-iteration PG of a random start, see `reference_pg1`).  Used when
+    W0/H0 is a near-optimal (spectral) initializer: the ratio-to-own-start
+    criterion is unreachable from a good start, so the tolerance is
+    anchored to the random-start scale the reference semantics assume.
     """
     # capability check must run OUTSIDE the trace: probing inside would
     # inline the probe's callback into this program
     verbose_print = bool(opts.verbose) and _debug_print_supported()
-    return _nmf_solve_impl(a_op, W0, H0, opts, verbose_print)
+    return _nmf_solve_impl(a_op, W0, H0, opts, verbose_print, pg0_hint)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def reference_pg1(a_op, W0, H0, opts: NmfOptions):
+    """PG after ONE solver step from (W0, H0) — the reference's PG_1
+    (progress_estimator_generic.hpp:75-109 primes pg0 on iteration 1)."""
+    from ..ops.dense import projected_gradient_norm
+
+    solver = get_solver(opts.algorithm)
+    st = solver.init(a_op, W0, H0)
+    W, H, gW, gH, st, ok = solver.step(a_op, W0, H0, st)
+    return projected_gradient_norm(gW, gH, W, H)
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "verbose_print"))
 def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
-                    verbose_print: bool) -> SolveResult:
+                    verbose_print: bool, pg0_hint=None) -> SolveResult:
     solver = get_solver(opts.algorithm)
     method = opts.prog_est_algorithm
 
     solver_state = solver.init(a_op, W0, H0)
     prog_state = prog_init(method, W0)
+    have_pg0 = (pg0_hint is not None
+                and method == NmfProgressAlgorithm.PG_RATIO)
+    if have_pg0:
+        prog_state = jnp.asarray(pg0_hint, W0.dtype)
 
     gradW0 = jnp.zeros_like(W0)
     gradH0 = jnp.zeros_like(H0)
@@ -162,7 +184,7 @@ def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
         do_update = (it == 0) | at_check
 
         def upd(pstate):
-            return prog_update(method, it, W, H, gW, gH, pstate)
+            return prog_update(method, it, W, H, gW, gH, pstate, have_pg0)
 
         metric_new, pstate = jax.lax.cond(
             do_update, upd, lambda s: (metric, s), pstate

@@ -183,3 +183,49 @@ class TestPreprocessor:
         assert res.matrix.shape[0] > 0
         # reference does this in 63 ms in C++; allow generous Python budget
         assert elapsed < 30.0
+
+
+class TestSyntheticCorpus:
+    """engines/corpus.py: the reuters-statistics benchmark corpus."""
+
+    def test_statistics_and_determinism(self):
+        import scipy.sparse as sp
+
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+
+        A, labels = synthetic_term_doc_corpus(800, 600, 8, seed=4,
+                                              mean_doc_len=40)
+        assert sp.issparse(A) and A.shape == (800, 600)
+        assert labels.shape == (600,) and labels.max() < 8
+        # tf-idf unit-L2 columns (nonempty docs)
+        norms = np.sqrt(np.asarray(A.multiply(A).sum(axis=0))).ravel()
+        nonempty = np.asarray((A != 0).sum(axis=0)).ravel() > 0
+        np.testing.assert_allclose(norms[nonempty], 1.0, rtol=1e-5)
+        assert (A.data >= 0).all()
+
+        A2, labels2 = synthetic_term_doc_corpus(800, 600, 8, seed=4,
+                                                mean_doc_len=40)
+        assert (A != A2).nnz == 0
+        np.testing.assert_array_equal(labels, labels2)
+
+    def test_hierclust_recovers_planted_clusters(self):
+        from smallk_tpu.common.options import (
+            ClustOptions, NmfAlgorithm, NmfOptions, NmfProgressAlgorithm,
+        )
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+        from smallk_tpu.engines.hierclust import clust_hier
+        from smallk_tpu.engines.scoring import score_clustering
+
+        A, labels = synthetic_term_doc_corpus(600, 400, 4, seed=7,
+                                              mean_doc_len=40)
+        opts = ClustOptions(
+            nmf_opts=NmfOptions(
+                tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+                prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+                min_iter=1, max_iter=2000, verbose=False, dtype="float64",
+            ),
+            num_clusters=4, verbose=False,
+        )
+        tree, _ = clust_hier(A.astype(np.float64), opts, Random(1))
+        report = score_clustering(tree.assignments, labels)
+        assert report["nmi"] > 0.6

@@ -92,6 +92,15 @@ def test_matrixgen_types():
     assert sp.issparse(s)
     assert (s.toarray() != 0).sum(axis=0).min() == 3
 
+    # the SPARSE generator draws from the live engine stream (reference
+    # sparse_matrix_ops.hpp:317): two calls on ONE Random instance differ,
+    # while a fresh same-seeded Random reproduces the first call exactly
+    rng5 = Random(5)
+    s1 = generate(20, 10, "SPARSE", rng=rng5, nz_per_col=3)
+    s2 = generate(20, 10, "SPARSE", rng=rng5, nz_per_col=3)
+    assert (s1 != s2).nnz > 0
+    np.testing.assert_array_equal(s.toarray(), s1.toarray())
+
     d = generate(6, 4, "DENSE_DIAG", rng=Random(9))
     off_diag = d.copy()
     off_diag[np.arange(4), np.arange(4)] = 0
