@@ -92,16 +92,21 @@ class _Rank2Runner:
     """
 
     def __init__(self, a_op, opts: ClustOptions, inits: _InitializerSource,
-                 stats: ClustStats, dtype):
+                 stats: ClustStats, dtype, mesh=None):
         self.a_op = a_op
         self.opts = opts
         self.inits = inits
         self.stats = stats
         self.dtype = dtype
+        self.mesh = mesh
         m, n = a_op.shape
         self.m, self.n = m, n
         self._A_ext = None  # dense A with one trailing zero column
-        if isinstance(a_op, DenseAOp):
+        if isinstance(a_op, DenseAOp) and mesh is None:
+            # single-device fast path: per-node bucketed column gathers.
+            # Under a mesh, nodes run as sharded column MASKS on the
+            # full-shape operand instead — masking commutes with both
+            # products and keeps A sharded exactly once (SURVEY §5.8).
             self._A_ext = jnp.concatenate(
                 [a_op.A, jnp.zeros((m, 1), a_op.A.dtype)], axis=1
             )
@@ -212,7 +217,19 @@ class _Rank2Runner:
             else:
                 mask = np.zeros(self.n, dtype=self.dtype)
                 mask[subset] = 1.0
-                a_op = MaskedAOp(self.a_op, jnp.asarray(mask))
+                mask_dev = jnp.asarray(mask)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    import jax
+
+                    mask_dev = jax.device_put(
+                        mask_dev,
+                        NamedSharding(self.mesh,
+                                      P(self.mesh.axis_names[1])),
+                    )
+                a_op = MaskedAOp(self.a_op, mask_dev)
 
         for attempt in range(max_attempts):
             W0, H0 = self.inits.next()
@@ -222,6 +239,13 @@ class _Rank2Runner:
                 H0 = H0b
             W0 = jnp.asarray(W0, self.dtype)
             H0 = jnp.asarray(H0, self.dtype)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_factors
+
+                try:
+                    W0, H0 = shard_factors(W0, H0, self.mesh)
+                except ValueError:
+                    pass  # uneven shapes: GSPMD reshards from replicated
             pg0 = None
             # spectral init on the first attempt only: retries mean the
             # spectral start failed (degenerate second singular pair) and
@@ -410,6 +434,7 @@ def _load_hier_checkpoint(path, node_count):
 def clust_hier(A, opts: ClustOptions, rng: Random,
                stats: ClustStats | None = None,
                checkpoint_path: str | None = None,
+               mesh=None,
                _interrupt_after: int | None = None):
     """Build the hierarchical clustering tree.
 
@@ -421,6 +446,13 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     factorization and after every split; an existing checkpoint resumes
     the run preemption-safely.  `_interrupt_after` is a test hook that
     raises after N completed splits.
+
+    With `mesh` (a jax.sharding.Mesh over (terms, docs)): A is sharded
+    ONCE across the mesh and every node factorization runs as a sharded
+    column mask on the full-shape operand — GSPMD inserts the Gram psums
+    and contracted-product collectives per SURVEY §5.8; node subsets never
+    leave the devices.  This is the distributed hierclust the reference
+    lists as future work (pages_introduction.rst:78).
     """
     import os
 
@@ -429,13 +461,17 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     dtype = jnp.dtype(opts.nmf_opts.dtype)
     a_op = as_aop(A, dtype=jnp.dtype(opts.nmf_opts.a_dtype or
                                      opts.nmf_opts.dtype))
+    if mesh is not None:
+        from ..parallel.mesh import shard_operand
+
+        a_op = shard_operand(a_op, mesh)
     m, n = a_op.shape
 
     num_clusters = opts.num_clusters
     node_count = 2 * (num_clusters - 1)
 
     inits = _InitializerSource(m, n, rng, opts.initdir, dtype=np.float64)
-    runner = _Rank2Runner(a_op, opts, inits, stats, dtype)
+    runner = _Rank2Runner(a_op, opts, inits, stats, dtype, mesh=mesh)
 
     W = H = None
     start_i = 0

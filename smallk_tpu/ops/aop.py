@@ -205,7 +205,7 @@ class MaskedAOp:
 
 
 def as_aop(A, dtype=jnp.float32, densify_threshold_bytes=2 << 30,
-           sparse_format="ell"):
+           sparse_format="ell", ell_pad_multiple=1):
     """Build an operand from a host matrix (ndarray or scipy sparse).
 
     Sparse inputs whose dense form fits under `densify_threshold_bytes` are
@@ -238,5 +238,9 @@ def as_aop(A, dtype=jnp.float32, densify_threshold_bytes=2 << 30,
             return DenseAOp(dense)
         if sparse_format == "coo":
             return SparseAOp.from_scipy(A.tocsc(), dtype=dtype)
-        return EllAOp.from_scipy(A.tocsc(), dtype=dtype)
+        # ell_pad_multiple: set to the mesh axis size (or the lcm of both
+        # axes) so the bucket arrays divide evenly for sharded runs
+        return EllAOp.from_scipy(
+            A.tocsc(), dtype=dtype, pad_multiple=ell_pad_multiple
+        )
     return DenseAOp(jnp.asarray(np.asarray(A), dtype=dtype))

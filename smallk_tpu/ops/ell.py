@@ -24,13 +24,19 @@ import numpy as np
 from .dense import _PRECISION, _pet
 
 
-def _build_buckets(indptr, indices, data, minor_dim, min_len=8):
+def _build_buckets(indptr, indices, data, minor_dim, min_len=8,
+                   pad_multiple=1):
     """Group the major-axis slices of a CS{C,R} structure by pow-2 length.
 
     Returns (order, bucket_list) where bucket_list entries are
     (ids, idx, vals): ids (g,) major indices, idx (g, L) minor indices
     padded with `minor_dim` (one-past-the-end sentinel), vals (g, L).
     `order` is the concatenation of all bucket ids.
+
+    `pad_multiple`: pad each bucket's major (g) axis to this multiple with
+    all-sentinel rows so the bucket arrays divide evenly over a device
+    mesh axis (the pad rows contribute zeros and their outputs are never
+    referenced by the inverse permutation).
     """
     indptr = np.asarray(indptr, dtype=np.int64)
     lengths = np.diff(indptr)
@@ -42,11 +48,13 @@ def _build_buckets(indptr, indices, data, minor_dim, min_len=8):
         int(np.log2(min_len)),
     )
     out = []
-    order = []
+    inv = np.empty(n_major, dtype=np.int32)
+    offset = 0
     for cls in np.unique(classes):
         L = 1 << int(cls)
         ids = np.where(classes == cls)[0].astype(np.int32)
         g = len(ids)
+        g_pad = -(-g // pad_multiple) * pad_multiple
         lens = lengths[ids]
         total = int(lens.sum())
         # flat gather indices into the CSC arrays for all bucket entries
@@ -55,15 +63,14 @@ def _build_buckets(indptr, indices, data, minor_dim, min_len=8):
         )
         flat_src = np.repeat(indptr[ids], lens) + within
         rows_in_bucket = np.repeat(np.arange(g), lens)
-        idx = np.full((g, L), minor_dim, dtype=np.int32)
-        vals = np.zeros((g, L), dtype=np.float64)
+        idx = np.full((g_pad, L), minor_dim, dtype=np.int32)
+        vals = np.zeros((g_pad, L), dtype=np.float64)
         idx[rows_in_bucket, within] = indices[flat_src]
         vals[rows_in_bucket, within] = data[flat_src]
         out.append((ids, idx, vals))
-        order.append(ids)
-    order = np.concatenate(order) if order else np.empty(0, np.int32)
-    inv = np.empty(n_major, dtype=np.int32)
-    inv[order] = np.arange(n_major, dtype=np.int32)
+        # stacked-product position of each real slice in this bucket
+        inv[ids] = offset + np.arange(g, dtype=np.int32)
+        offset += g_pad
     return inv, out
 
 
@@ -79,17 +86,20 @@ class EllAOp:
         self.row_buckets = row_buckets
 
     @classmethod
-    def from_scipy(cls, A, dtype=jnp.float32, min_len=8):
+    def from_scipy(cls, A, dtype=jnp.float32, min_len=8, pad_multiple=1):
+        """`pad_multiple`: pad bucket majors to this multiple (set to the
+        mesh axis size, or its lcm, for sharded runs — see
+        parallel.mesh.shard_operand)."""
         csc = A.tocsc()
         csc.sort_indices()
         m, n = csc.shape
         col_inv, cb = _build_buckets(
-            csc.indptr, csc.indices, csc.data, m, min_len
+            csc.indptr, csc.indices, csc.data, m, min_len, pad_multiple
         )
         csr = A.tocsr()
         csr.sort_indices()
         row_inv, rb = _build_buckets(
-            csr.indptr, csr.indices, csr.data, n, min_len
+            csr.indptr, csr.indices, csr.data, n, min_len, pad_multiple
         )
 
         def dev(bkts):

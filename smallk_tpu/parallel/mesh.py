@@ -85,9 +85,41 @@ def shard_operand(a_op, mesh: Mesh):
     from ..ops.ell import EllAOp
 
     if isinstance(a_op, EllAOp):
-        raise TypeError(
-            "EllAOp buckets are irregular and do not shard; build the "
-            "operand with as_aop(..., sparse_format='coo') for mesh runs"
+        # Buckets shard along their major (g) axis: column buckets ride
+        # the docs axis (their outputs are H-column slices), row buckets
+        # the terms axis.  Requires bucket majors padded to the axis size
+        # (EllAOp.from_scipy(pad_multiple=...)); the dense factor table
+        # gathered inside the product is small (<= max(m, n) x k) and is
+        # all-gathered by GSPMD where needed.
+        t, d = mesh.axis_names
+        nt = mesh.shape[t]
+        nd = mesh.shape[d]
+
+        def put_buckets(buckets, axis_name, size):
+            out = []
+            for idx, vals in buckets:
+                if idx.shape[0] % size != 0:
+                    raise ValueError(
+                        "EllAOp bucket majors are not divisible by the "
+                        f"mesh '{axis_name}' axis ({size}); rebuild with "
+                        f"EllAOp.from_scipy(..., pad_multiple={size}) or "
+                        "as_aop(..., ell_pad_multiple=...)"
+                    )
+                sh = NamedSharding(mesh, P(axis_name, None))
+                out.append(
+                    (jax.device_put(idx, sh), jax.device_put(vals, sh))
+                )
+            return out
+
+        # the inverse permutations are small (one int per row/col) and are
+        # consumed by a cross-bucket take: keep them replicated
+        rep = NamedSharding(mesh, P())
+        return EllAOp(
+            a_op.shape,
+            jax.device_put(a_op.col_inv, rep),
+            put_buckets(a_op.col_buckets, d, nd),
+            jax.device_put(a_op.row_inv, rep),
+            put_buckets(a_op.row_buckets, t, nt),
         )
     raise TypeError(f"unknown operand type {type(a_op)}")
 

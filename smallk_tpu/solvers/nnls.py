@@ -24,20 +24,34 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.dense import gemm, zeroize_small
+from ..ops.dense import _PRECISION, gemm, zeroize_small
 
 PBAR = 3
 
-# Masked-solve backend: "xla" (default; fuses well inside the pivot
-# while_loop) or "pallas" (VMEM-resident kernel, solvers/pallas_kernels.py).
-MASKED_SOLVER = "xla"
+# Masked-solve backend:
+#   "auto"   (default) — rank/backend dispatch: low ranks use the XLA
+#            unrolled GJ (fuses into the pivot while_loop); high ranks on
+#            TPU f32 use the VMEM-resident Pallas GJ kernel
+#            (solvers/pallas_kernels.py) whose HBM traffic is O(k n)
+#            instead of the XLA formulation's O(k^2 n) per elimination
+#            pass; high ranks elsewhere use compact-passive XLA solves.
+#   "xla"    — never use the Pallas kernel.
+#   "pallas" — force the Pallas kernel at every rank.
+MASKED_SOLVER = "auto"
 
 
 def set_masked_solver(name: str) -> None:
     global MASKED_SOLVER
-    if name not in ("xla", "pallas"):
-        raise ValueError("masked solver must be 'xla' or 'pallas'")
+    if name not in ("auto", "xla", "pallas"):
+        raise ValueError("masked solver must be 'auto', 'xla' or 'pallas'")
     MASKED_SOLVER = name
+
+
+def _pallas_ok(dtype) -> bool:
+    import jax
+
+    return (jnp.dtype(dtype) == jnp.float32
+            and jax.default_backend() not in ("cpu",))
 
 
 def _masked_solve(LHS, RHS, passive):
@@ -108,6 +122,12 @@ def _masked_cholesky_solve(LHS, RHS, passive):
     k, n = RHS.shape
     elem = jnp.dtype(LHS.dtype).itemsize
     if k >= _COMPACT_MIN_K:
+        if MASKED_SOLVER == "auto" and _pallas_ok(LHS.dtype):
+            # VMEM-resident kernel: no compaction machinery needed — the
+            # full-k elimination never touches HBM between pivots
+            from .pallas_kernels import masked_gj_solve_pallas
+
+            return masked_gj_solve_pallas(LHS, RHS, passive)
         block = _compact_solve_block
     elif k <= _GJ_MAX_K:
         block = _gj_solve_block
@@ -210,22 +230,38 @@ def _compact_solve_block(LHS, RHS, passive):
     overflow tier itself is too narrow.  Exact for every input: the
     compacted GJ performs the same elimination sequence as the full masked
     GJ restricted to the passive rows (increasing index order).
+
+    The per-column submatrix extraction and the scatter-back are one-hot
+    MATMULS, not gathers: a TPU XLA gather of (S, S, n) elements runs at
+    ~1 GB/s (measured 331 ms for what the MXU einsum does in ~5 ms), and a
+    0/1 selection matmul under Precision.HIGHEST is EXACT (the bf16x3
+    decomposition represents every f32 addend exactly; each output has one
+    nonzero term).
     """
     k, n = RHS.shape
     dtype = LHS.dtype
     S = _compact_width(k)
-    cols = jnp.arange(n)
 
     # passive indices first, in increasing order (stable sort of ~passive)
     order = jnp.argsort(~passive, axis=0, stable=True)  # (k, n)
     idx = order[:S]  # (S, n)
     m = jnp.take_along_axis(passive, idx, axis=0)  # (S, n): s < s_j
-    sub = LHS[idx[:, None, :], idx[None, :, :]]  # (S, S, n)
+    E = (idx[:, :, None] == jnp.arange(k)[None, None, :]).astype(dtype)
+    E = E * m[:, :, None]  # (S, n, k); pad rows select nothing
+    T1 = jnp.einsum(
+        "sjk,kl->sjl", E, LHS,
+        precision=_PRECISION, preferred_element_type=LHS.dtype,
+    )  # (S, n, k) rows of LHS at the passive indices
+    sub = jnp.einsum(
+        "sjl,tjl->stj", T1, E,
+        precision=_PRECISION, preferred_element_type=LHS.dtype,
+    )  # (S, S, n); pad rows/cols are all-zero -> unit rows added by the GJ
     rhs_sub = jnp.take_along_axis(RHS, idx, axis=0)  # (S, n)
     x_sub = _gj_solve_block(sub, rhs_sub, m)  # (S, n)
-    safe_idx = jnp.where(m, idx, k)  # pad rows -> dropped by the scatter
-    X = jnp.zeros((k, n), dtype).at[safe_idx, cols[None, :]].set(
-        x_sub, mode="drop"
+    # scatter back through the same one-hot operator (exact)
+    X = jnp.einsum(
+        "sjk,sj->kj", E, x_sub,
+        precision=_PRECISION, preferred_element_type=LHS.dtype,
     )
 
     # overflow tier: columns with s_j > S, full rank, fixed narrow width

@@ -2,14 +2,20 @@
 
 The BPP inner solver factors every column's masked k x k SPD system each
 pivot round (solvers/nnls.py).  The XLA formulation materializes the
-(k, k+1, n) augmented tensor in HBM between elimination steps; this Pallas
-kernel runs the whole statically-unrolled Gauss-Jordan elimination on a
-VMEM-resident column tile, so HBM traffic drops to the inputs (LHS, RHS,
-passive) and the output X — about k+2 vectors instead of ~k^2.
+(k, k+1, n) augmented tensor in HBM between elimination steps — at k=128,
+reuters width, that is ~8 GB of HBM traffic per solve.  This kernel runs
+the whole statically-unrolled Gauss-Jordan elimination on a VMEM-resident
+column tile, so HBM traffic drops to the inputs (LHS, RHS, passive) and
+the output X — about k+2 vectors per column instead of ~k^2.
+
+The augmented system lives in an explicit VMEM *scratch ref* and every
+elimination step updates it IN PLACE: a functional formulation keeps ~10
+copies of M live across the unrolled steps (measured: 19.7 MB scoped vmem
+at k=32, tile=512 -> compile-time OOM), while the scratch form needs one.
 
 Reference semantics: BppSolveNormalEqNoGroup (nmf_solver_bpp.hpp:146-219)
 — per-column masked SPD solve; see solvers/nnls.py for the masked-M
-equivalence proof.
+equivalence proof and the dead-pivot guard rationale.
 """
 
 from __future__ import annotations
@@ -22,58 +28,95 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TILE = 512
+# Scoped-vmem headroom (hard cap 16 MB).  Mosaic's measured working set is
+# ~1.85x the (k, k, T) scratch (double-buffered stores + temps): k=128,
+# tile=128 allocated 16.34 MB.  7 MB of modeled bytes keeps the real usage
+# near half the cap.
+_VMEM_BUDGET = 7 * 1024 * 1024
 
 
-def _gj_kernel(LHS_ref, RHS_ref, p_ref, X_ref, *, k: int):
-    # Pallas TPU cannot lower scatter updates; everything below is built
-    # from slices, broadcasts and selects only.
+_ROW_CHUNK = 32  # rows of M updated per in-place store (bounds temps)
+
+
+def _pick_tile(k: int, n: int) -> int:
+    """Largest power-of-2 tile whose scratch + temps fit the VMEM budget.
+
+    Mosaic requires the lane (minor) block dim to be a multiple of 128.
+    """
+    tile = min(_TILE, max(128, n))
+    # scratch M (k, k, T) + row-chunk temp + ~6 live (k, T) temps
+    while tile > 128 and (
+        (k * k + _ROW_CHUNK * k + 8 * k) * tile * 4 > _VMEM_BUDGET
+    ):
+        tile //= 2
+    return tile
+
+
+def _gj_kernel(LHS_ref, RHS_ref, p_ref, X_ref, M_ref, *, k: int):
+    """Masked GJ on one (k, tile) column block; M_ref is VMEM scratch.
+
+    Pallas TPU cannot lower scatter updates; everything below is built
+    from dynamic slices, broadcasts and selects only.  The pivot loop is
+    a lax.fori_loop (NOT a Python unroll: Mosaic compile time for a
+    128-copy unrolled body runs to many minutes; the rolled loop
+    compiles in seconds and the elimination is VPU-bound either way).
+    """
     p = p_ref[:]  # (k, T) 0/1 in value dtype
     LHS = LHS_ref[:]  # (k, k)
     eye = jnp.eye(k, dtype=LHS.dtype)
 
     # masked M in (k, k, T) layout: batch along lanes
-    M = LHS[:, :, None] * (p[None, :, :] * p[:, None, :]) + (
-        eye[:, :, None] * (1.0 - p)[:, None, :]
+    M_ref[:] = LHS[:, :, None] * (p[None, :, :] * p[:, None, :]) + (
+        eye[:, :, None] * (1.0 - p)[None, :, :]
     )
-    x = RHS_ref[:] * p  # (k, T)
+    X_ref[:] = RHS_ref[:] * p  # x lives in the output ref (k, T)
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # (k, 1)
     # dead-pivot guard (see solvers/nnls._masked_cholesky_solve)
     tiny = k * jnp.finfo(LHS.dtype).eps * (jnp.max(jnp.abs(LHS)) + 1.0)
 
-    # unrolled Gauss-Jordan over the k pivots; work arrays stay in VMEM
-    for j in range(k):
-        piv = M[j, j, :]  # (T,)
+    def body(j, _):
+        Mj = M_ref[pl.ds(j, 1)][0]  # (k, T): pivot row j
+        col_sel = M_ref[:, pl.ds(j, 1), :][:, 0, :]  # (k, T): pivot col j
+        # piv[t] = M[j, j, t]: mask-reduce over the already-loaded column
+        # (Mosaic has no value-level dynamic_slice)
+        piv = jnp.sum(jnp.where(row_ids == j, col_sel, 0.0), axis=0)
         safe = jnp.abs(piv) > tiny
         inv = jnp.where(safe, 1.0 / jnp.where(safe, piv, 1.0), 0.0)
-        row_j = M[j] * inv[None, :]  # (k, T); zero row when unsafe
+        row_j = Mj * inv[None, :]  # (k, T); unit row when unsafe
         row_j = jnp.where(
             safe[None, :], row_j,
             jnp.where(row_ids == j, 1.0, 0.0),
         )
-        xj = x[j, :] * inv  # (T,); 0 when unsafe
-        f = jnp.where(row_ids == j, 0.0, M[:, j, :])  # (k, T), 0 at row j
+        xj = X_ref[pl.ds(j, 1)][0] * inv  # (T,); 0 when unsafe
+        f = jnp.where(row_ids == j, 0.0, col_sel)
         f = jnp.where(safe[None, :], f, 0.0)
-        M = M - f[:, None, :] * row_j[None, :, :]
-        x = x - f * xj[None, :]
-        is_j = row_ids == j
-        M = jnp.where(is_j[:, :, None], row_j[None, :, :], M)
-        x = jnp.where(is_j, xj[None, :], x)
+        # update M in row blocks: a whole-tensor expression would
+        # materialize a second (k, k, T) temp and double the VMEM bill
+        for r0 in range(0, k, _ROW_CHUNK):
+            r1 = min(k, r0 + _ROW_CHUNK)
+            M_ref[r0:r1] = (
+                M_ref[r0:r1] - f[r0:r1, None, :] * row_j[None, :, :]
+            )
+        X_ref[:] = X_ref[:] - f * xj[None, :]
+        M_ref[pl.ds(j, 1)] = row_j[None]
+        X_ref[pl.ds(j, 1)] = xj[None]
+        return 0
 
-    X_ref[:] = x
+    jax.lax.fori_loop(0, k, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def masked_gj_solve_pallas(LHS, RHS, passive):
-    """Pallas version of solvers.nnls._masked_cholesky_solve.
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def masked_gj_solve_pallas(LHS, RHS, passive, interpret: bool = False):
+    """Pallas version of solvers.nnls's masked solve.
 
     LHS: (k, k), RHS: (k, n), passive: (k, n) bool -> X (k, n).
-    n must be padded to a multiple of the tile by the caller (the solver
-    shapes are padded at operand construction).
+    `interpret=True` runs the kernel in Pallas interpreter mode (any
+    backend) for parity testing.
     """
     k, n = RHS.shape
     dtype = LHS.dtype
-    tile = min(_TILE, n)
+    tile = min(_pick_tile(k, n), n)
     if n % tile != 0:
         pad = tile - n % tile
         RHS = jnp.pad(RHS, ((0, 0), (0, pad)))
@@ -94,5 +137,7 @@ def masked_gj_solve_pallas(LHS, RHS, passive):
         out_specs=pl.BlockSpec((k, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, n_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((k, k, tile), dtype)],
+        interpret=interpret,
     )(LHS, RHS, p)
     return out[:, :n]

@@ -121,3 +121,94 @@ def test_shard_operand_dense():
     assert sharded.A.sharding.is_equivalent_to(
         nmf_shardings(mesh)[0], ndim=2
     )
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_ell_operand_shards(mesh_shape):
+    """Bucketed-ELL operand sharded over the mesh == single-device (the
+    fast sparse format is no longer forced onto the COO path for mesh
+    runs, VERDICT r1 item 4)."""
+    import scipy.sparse as sp
+
+    from smallk_tpu.ops.ell import EllAOp
+
+    rng = np.random.RandomState(5)
+    m, n, k = 96, 80, 4
+    A = sp.random(m, n, density=0.12, random_state=rng, format="csc")
+    A.data = np.abs(A.data) + 0.1
+
+    _, W0, H0, opts = _problem(m, n, k, seed=2)
+    W0j, H0j = jnp.asarray(W0), jnp.asarray(H0)
+
+    ref_op = EllAOp.from_scipy(A, dtype=jnp.float64)
+    ref = nmf_solve(ref_op, W0j, H0j, opts)
+
+    mesh = make_mesh(mesh_shape)
+    pad = max(mesh_shape)
+    a_op = EllAOp.from_scipy(A, dtype=jnp.float64, pad_multiple=pad)
+    # padded single-device operand must itself be exact
+    same = nmf_solve(a_op, W0j, H0j, opts)
+    np.testing.assert_allclose(
+        np.asarray(same.W), np.asarray(ref.W), rtol=1e-12, atol=1e-14
+    )
+
+    out = sharded_nmf_solve(a_op, W0j, H0j, opts, mesh)
+    assert int(out.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(out.W), np.asarray(ref.W), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.H), np.asarray(ref.H), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_ell_shard_requires_padding():
+    import scipy.sparse as sp
+
+    from smallk_tpu.ops.ell import EllAOp
+
+    rng = np.random.RandomState(6)
+    A = sp.random(40, 30, density=0.2, random_state=rng, format="csc")
+    op = EllAOp.from_scipy(A, dtype=jnp.float64)  # pad_multiple=1
+    mesh = make_mesh((1, 8))
+    with pytest.raises(ValueError, match="pad_multiple"):
+        shard_operand(op, mesh)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_hierclust_sharded_matches_single_device(mesh_shape):
+    """Mesh-aware hierclust: A sharded once, node subsets as sharded
+    masks — the resulting tree equals the single-device tree (VERDICT r1
+    item 3; SURVEY §5.8, BASELINE config 5 scope)."""
+    import scipy.sparse as sp
+
+    from smallk_tpu.common.options import (
+        ClustOptions, NmfProgressAlgorithm,
+    )
+    from smallk_tpu.engines.hierclust import clust_hier
+
+    rng = np.random.RandomState(4)
+    m, n, blocks = 64, 48, 4
+    A = np.abs(rng.rand(m, n)) * 0.05
+    for b in range(blocks):
+        A[b * 16:(b + 1) * 16, b * 12:(b + 1) * 12] += 1.0
+    A = sp.csc_matrix(A)
+
+    def opts():
+        return ClustOptions(
+            nmf_opts=NmfOptions(
+                tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+                prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+                min_iter=1, max_iter=500, verbose=False, dtype="float64",
+            ),
+            num_clusters=blocks, verbose=False,
+        )
+
+    ref_tree, _ = clust_hier(A, opts(), Random(7))
+    mesh = make_mesh(mesh_shape)
+    out_tree, _ = clust_hier(A, opts(), Random(7), mesh=mesh)
+
+    np.testing.assert_array_equal(out_tree.assignments, ref_tree.assignments)
+    assert len(out_tree.nodes) == len(ref_tree.nodes)
+    for a, b in zip(out_tree.nodes, ref_tree.nodes):
+        np.testing.assert_array_equal(np.sort(a.docs), np.sort(b.docs))

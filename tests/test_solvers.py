@@ -504,3 +504,41 @@ class TestSpectralInit:
         np.testing.assert_allclose(np.asarray(H0s)[:, n // 2:], 0.0,
                                    atol=1e-12)
         assert np.isfinite(np.asarray(W0s)).all()
+
+
+class TestPallasMaskedGJ:
+    """Parity of the VMEM-resident Pallas masked-GJ kernel
+    (solvers/pallas_kernels.py) against the XLA masked solve, in
+    interpreter mode (backend-independent).  On TPU the kernel is the
+    default high-rank path (solvers/nnls.MASKED_SOLVER == "auto")."""
+
+    @pytest.mark.parametrize("k,n", [(8, 300), (32, 257), (64, 100),
+                                     (128, 130)])
+    def test_interpret_parity(self, k, n):
+        import smallk_tpu.solvers.nnls as nn
+        from smallk_tpu.solvers.pallas_kernels import masked_gj_solve_pallas
+
+        rng = np.random.RandomState(k)
+        B = rng.rand(k, 2 * k).astype(np.float32)
+        LHS = jnp.asarray(B @ B.T + 0.1 * np.eye(k), jnp.float32)
+        RHS = jnp.asarray((B @ rng.rand(2 * k, n)).astype(np.float32))
+        passive = jnp.asarray(rng.rand(k, n) > 0.6)
+
+        Xp = masked_gj_solve_pallas(LHS, RHS, passive, interpret=True)
+        Xr = nn._gj_solve_block(LHS, RHS, passive)
+        np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xr),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_dead_pivot_guard(self):
+        from smallk_tpu.solvers.pallas_kernels import masked_gj_solve_pallas
+
+        k, n = 16, 64
+        rng = np.random.RandomState(0)
+        W = rng.rand(3 * k, k)
+        W[:, 3] = 0.0  # dead topic -> ~0 Gram diagonal
+        LHS = jnp.asarray(W.T @ W, jnp.float32)
+        RHS = jnp.asarray((W.T @ rng.rand(3 * k, n)).astype(np.float32))
+        passive = jnp.ones((k, n), dtype=bool)
+        X = masked_gj_solve_pallas(LHS, RHS, passive, interpret=True)
+        assert np.isfinite(np.asarray(X)).all()
+        np.testing.assert_allclose(np.asarray(X)[3], 0.0, atol=1e-5)
