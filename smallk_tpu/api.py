@@ -235,7 +235,7 @@ class Flatclust(Clustering):
 
     def cluster(self, k, infile_W="", infile_H="", algorithm="BPP",
                 maxterms=5, verbose=True, min_iter=5, max_iter=5000,
-                tol=0.0001, max_threads=8, dtype="float32"):
+                tol=0.0001, max_threads=8, dtype="float32", mesh=None):
         from .engines.assignments import top_terms_matrix
         from .engines.flatclust import run_flatclust
         from .io.delimited import load_delimited
@@ -254,7 +254,7 @@ class Flatclust(Clustering):
         )
         self._stats = NmfStats()
         self.W, self.H, self.assignments, self.fuzzy, ok = run_flatclust(
-            self.A, W0, H0, opts, self._stats
+            self.A, W0, H0, opts, self._stats, mesh=mesh
         )
         self.maxterms = maxterms
         self.term_indices = top_terms_matrix(self.W, maxterms)
@@ -306,7 +306,8 @@ class Hierclust(Clustering):
 
     def cluster(self, k, initdir="", maxterms=5, unbalanced=0.1,
                 trial_allowance=3, verbose=True, flat=0, min_iter=5,
-                max_iter=5000, tol=0.0001, max_threads=8, dtype="float32"):
+                max_iter=5000, tol=0.0001, max_threads=8, dtype="float32",
+                mesh=None, init_method="random"):
         from .engines.flatclust import run_hier_nmf2
 
         m, n = self.A.shape
@@ -321,10 +322,11 @@ class Hierclust(Clustering):
             maxterms=maxterms, unbalanced=unbalanced,
             trial_allowance=trial_allowance, num_clusters=k,
             verbose=verbose, flat=bool(flat), initdir=initdir or None,
+            init_method=init_method,
         )
         self._stats = ClustStats()
         self.tree, self._stats, self.flat_results = run_hier_nmf2(
-            self.A, opts, self.rng, self._stats
+            self.A, opts, self.rng, self._stats, mesh=mesh
         )
         self.num_clusters = k
         self.maxterms = maxterms

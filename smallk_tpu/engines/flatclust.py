@@ -39,11 +39,15 @@ def run_flatclust(
     H0: np.ndarray,
     opts: NmfOptions,
     stats: Optional[NmfStats] = None,
+    mesh=None,
 ):
     """Factor A and derive flat clustering results.
 
     Returns (W, H, assignments, fuzzy, success); top terms are derived by
     the caller via assignments.top_terms_matrix(W, maxterms).
+
+    With `mesh`, A/W/H are sharded over the (terms, docs) mesh and the
+    solve runs under GSPMD (parallel/mesh.sharded_nmf_solve).
     """
     if opts.algorithm not in _FLATCLUST_ALGORITHMS:
         raise ValueError(
@@ -57,9 +61,17 @@ def run_flatclust(
     import time
 
     t0 = time.perf_counter()
-    res = nmf_solve(
-        a_op, jnp.asarray(W0, dtype), jnp.asarray(H0, dtype), opts
-    )
+    if mesh is not None:
+        from ..parallel.mesh import sharded_nmf_solve
+
+        res = sharded_nmf_solve(
+            a_op, jnp.asarray(W0, dtype), jnp.asarray(H0, dtype), opts,
+            mesh,
+        )
+    else:
+        res = nmf_solve(
+            a_op, jnp.asarray(W0, dtype), jnp.asarray(H0, dtype), opts
+        )
     W = np.asarray(res.W)
     H = np.asarray(res.H)
     if stats is not None:
@@ -122,22 +134,23 @@ def run_hier_nmf2(
     opts: ClustOptions,
     rng,
     stats=None,
+    mesh=None,
 ):
     """Full hierarchical workload: tree + optional flat refinement.
 
     Reference: RunHierNmf2 (hierclust/include/run_hier_nmf2.hpp:17-76).
     Returns (tree, stats, flat) where flat is None or a dict with
-    W, H, assignments, fuzzy.
+    W, H, assignments, fuzzy.  `mesh` distributes both phases.
     """
     from ..common.options import ClustStats
     from .hierclust import clust_flat, clust_hier
 
     stats = stats if stats is not None else ClustStats()
-    tree, stats = clust_hier(A, opts, rng, stats)
+    tree, stats = clust_hier(A, opts, rng, stats, mesh=mesh)
 
     flat = None
     if opts.flat:
-        W, H, ok = clust_flat(A, tree, opts, rng)
+        W, H, ok = clust_flat(A, tree, opts, rng, mesh=mesh)
         flat = {
             "W": W,
             "H": H,

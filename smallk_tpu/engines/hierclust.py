@@ -558,17 +558,22 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     return tree, stats
 
 
-def clust_flat(A, tree: Tree, opts: ClustOptions, rng: Random):
+def clust_flat(A, tree: Tree, opts: ClustOptions, rng: Random, mesh=None):
     """Flat refinement: W from the k leaf topic vectors, H by NNLS-HALS.
 
     Reference: ClustFlat (clust_flat_generic.hpp:15-76), <= 3 attempts with
     fresh random H.  Returns (W (m,k), H (k,n), success).
+    `mesh` shards A over the (terms, docs) mesh for the refinement solve.
     """
     from ..solvers.nnls import nnls_hals
 
     dtype = jnp.dtype(opts.nmf_opts.dtype)
     a_op = as_aop(A, dtype=jnp.dtype(opts.nmf_opts.a_dtype or
                                      opts.nmf_opts.dtype))
+    if mesh is not None:
+        from ..parallel.mesh import shard_operand
+
+        a_op = shard_operand(a_op, mesh)
     m, n = a_op.shape
     k = opts.num_clusters
 

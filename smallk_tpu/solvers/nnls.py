@@ -291,6 +291,19 @@ def _compact_solve_block(LHS, RHS, passive):
     return jax.lax.cond(n_over == 0, no_overflow, overflow_tier, X)
 
 
+# Pivot rounds re-solve only non-optimal columns, gathered into a buffer
+# of width ceil(n / _REDUCE_FRACTION) when the problem is wide and
+# high-rank.  Each column's pivot state machine (passive set, P, Ninf) is
+# INDEPENDENT of every other column's (nmf_solver_bpp.hpp:182-216 — no
+# cross-column coupling), so deferring a column to a later round replays
+# exactly the same per-column pivot sequence; only the scheduling
+# changes.  With warm starts, the non-optimal set collapses to a few
+# percent of columns after the first round, so this removes an O(n/NB)
+# factor from every round after the first.
+_REDUCE_FRACTION = 8
+_REDUCE_MIN_N = 2048
+
+
 def nnls_blockpivot(LHS, RHS, Xinit):
     """Solve LHS @ X = RHS s.t. X >= 0 columnwise, LHS (k,k) SPD.
 
@@ -299,7 +312,8 @@ def nnls_blockpivot(LHS, RHS, Xinit):
     set from Xinit > 0; iteration cap 5k; small-value zeroing at 1e-12.
     """
     k, n = RHS.shape
-    max_iter = 5 * k
+    reduce_width = (n >= _REDUCE_MIN_N and k >= _COMPACT_MIN_K)
+    max_iter = 5 * k * (_REDUCE_FRACTION if reduce_width else 1)
     row_ids = jnp.arange(k, dtype=jnp.int32)[:, None]  # (k, 1)
     eps = jnp.finfo(RHS.dtype).eps
 
@@ -345,28 +359,38 @@ def nnls_blockpivot(LHS, RHS, Xinit):
         X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
         return jnp.any(not_good > 0) & (it < max_iter)
 
+    def _pivot_cols(P, Ninf, nonopt, infeas, not_good, sel):
+        """One pivot round on the columns flagged in `sel` (UpdatePassiveSet
+        nnls.cpp:18-74).  All inputs column-sliced to the same width."""
+        cols1 = sel & (not_good < Ninf)
+        cols2 = sel & (not_good >= Ninf) & (P >= 1)
+        cols3 = sel & ~cols1 & ~cols2
+
+        P = jnp.where(cols1, PBAR, jnp.where(cols2, P - 1, P))
+        Ninf = jnp.where(cols1, not_good, Ninf)
+        return P, Ninf, cols1, cols2, cols3
+
+    def _update_passive(passive, nonopt, infeas, cols1, cols2, cols3):
+        w = passive.shape[0]
+        rids = jnp.arange(w, dtype=jnp.int32)[:, None]
+        # full-exchange for cols1|cols2: set nonopt bits, clear infeasible
+        cc = (cols1 | cols2)[None, :]
+        passive = (passive | (nonopt & cc)) & ~(infeas & cc)
+        # backup rule for cols3: toggle the highest-index offending bit
+        r1 = jnp.max(jnp.where(nonopt, rids, -1), axis=0)
+        r2 = jnp.max(jnp.where(infeas, rids, -1), axis=0)
+        toggle = (rids == jnp.maximum(r1, r2)[None, :]) & cols3[None, :]
+        return passive ^ toggle
+
     def body(carry):
         X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
         notopt_col = not_good > 0
 
-        # --- UpdatePassiveSet (nnls.cpp:18-74) ---
-        cols1 = notopt_col & (not_good < Ninf)
-        cols2 = notopt_col & (not_good >= Ninf) & (P >= 1)
-        cols3 = notopt_col & ~cols1 & ~cols2
-
-        P = jnp.where(cols1, PBAR, jnp.where(cols2, P - 1, P))
-        Ninf = jnp.where(cols1, not_good, Ninf)
-
-        # full-exchange for cols1|cols2: set nonopt bits, clear infeasible
-        cc = (cols1 | cols2)[None, :]
-        passive = (passive | (nonopt & cc)) & ~(infeas & cc)
-
-        # backup rule for cols3: toggle the single highest-index offending bit
-        r1 = jnp.max(jnp.where(nonopt, row_ids, -1), axis=0)  # (n,)
-        r2 = jnp.max(jnp.where(infeas, row_ids, -1), axis=0)
-        rt = jnp.maximum(r1, r2)
-        toggle = (row_ids == rt[None, :]) & cols3[None, :]
-        passive = passive ^ toggle
+        P, Ninf, cols1, cols2, cols3 = _pivot_cols(
+            P, Ninf, nonopt, infeas, not_good, notopt_col
+        )
+        passive = _update_passive(passive, nonopt, infeas,
+                                  cols1, cols2, cols3)
 
         # --- solve the non-optimal columns with the updated passive sets ---
         Xs = _masked_solve(LHS, RHS, passive)
@@ -384,10 +408,63 @@ def nnls_blockpivot(LHS, RHS, Xinit):
         ).astype(jnp.int32)
         return (X, Y, passive, P, Ninf, nonopt, infeas, not_good, it + 1)
 
+    NB = max(_REDUCE_MIN_N // _REDUCE_FRACTION, n // _REDUCE_FRACTION)
+
+    def body_reduced(carry):
+        """Width-reduced pivot round: gather up to NB non-optimal columns,
+        run their pivot step, scatter back.  Exact per-column semantics —
+        unselected non-optimal columns are untouched (state machines are
+        column-local) and get picked up in later rounds."""
+        X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
+        bad = not_good > 0
+        ids = jnp.argsort(~bad, stable=True)[:NB]  # bad columns first
+        sel = bad[ids]  # (NB,)
+
+        P_s, Ninf_s, c1, c2, c3 = _pivot_cols(
+            P[ids], Ninf[ids], nonopt[:, ids], infeas[:, ids],
+            not_good[ids], sel,
+        )
+        passive_s = _update_passive(
+            passive[:, ids], nonopt[:, ids], infeas[:, ids], c1, c2, c3
+        )
+
+        RHS_s = RHS[:, ids]
+        Xs = _masked_solve(LHS, RHS_s, passive_s)
+        Ys = gemm(LHS, Xs) - RHS_s
+        Xs = jnp.where(sel[None, :], Xs, X[:, ids])
+        Ys = jnp.where(sel[None, :], Ys, Y[:, ids])
+
+        dx = 512.0 * eps * jnp.maximum(1.0, jnp.max(jnp.abs(Xs)))
+        dy_s = 16.0 * eps * (
+            gemm(abs_lhs, jnp.abs(Xs)) + jnp.abs(RHS_s)
+        )
+        nonopt_s = jnp.where(
+            sel[None, :], (Ys < -dy_s) & ~passive_s, nonopt[:, ids]
+        )
+        infeas_s = jnp.where(
+            sel[None, :], (Xs < -dx) & passive_s, infeas[:, ids]
+        )
+        ng_s = (
+            jnp.sum(nonopt_s, axis=0) + jnp.sum(infeas_s, axis=0)
+        ).astype(jnp.int32)
+
+        # scatter the selected columns' new state back (ids are unique)
+        X = X.at[:, ids].set(Xs)
+        Y = Y.at[:, ids].set(Ys)
+        passive = passive.at[:, ids].set(passive_s)
+        P = P.at[ids].set(jnp.where(sel, P_s, P[ids]))
+        Ninf = Ninf.at[ids].set(jnp.where(sel, Ninf_s, Ninf[ids]))
+        nonopt = nonopt.at[:, ids].set(nonopt_s)
+        infeas = infeas.at[:, ids].set(infeas_s)
+        not_good = not_good.at[ids].set(
+            jnp.where(sel, ng_s, not_good[ids])
+        )
+        return (X, Y, passive, P, Ninf, nonopt, infeas, not_good, it + 1)
+
     carry = (X, Y, passive, P, Ninf, nonopt, infeas, not_good,
              jnp.zeros((), dtype=jnp.int32))
     X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = jax.lax.while_loop(
-        cond, body, carry
+        cond, body_reduced if reduce_width else body, carry
     )
 
     converged = jnp.logical_not(jnp.any(not_good > 0))

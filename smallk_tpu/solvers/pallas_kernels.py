@@ -65,10 +65,20 @@ def _gj_kernel(LHS_ref, RHS_ref, p_ref, X_ref, M_ref, *, k: int):
     LHS = LHS_ref[:]  # (k, k)
     eye = jnp.eye(k, dtype=LHS.dtype)
 
-    # masked M in (k, k, T) layout: batch along lanes
-    M_ref[:] = LHS[:, :, None] * (p[None, :, :] * p[:, None, :]) + (
-        eye[:, :, None] * (1.0 - p)[None, :, :]
-    )
+    # masked M in (k, k, T) layout: batch along lanes.  Initialized in row
+    # blocks — a whole-tensor expression would materialize a second
+    # (k, k, T) temp beside the scratch and blow the 16 MB scoped-vmem cap
+    # (measured: 16.34 MB at k=128, T=128).
+    one_m_p = 1.0 - p
+    for r0 in range(0, k, _ROW_CHUNK):
+        sz = min(k, r0 + _ROW_CHUNK) - r0
+        LHS_b = jax.lax.slice_in_dim(LHS, r0, r0 + sz, axis=0)
+        p_b = jax.lax.slice_in_dim(p, r0, r0 + sz, axis=0)
+        eye_b = jax.lax.slice_in_dim(eye, r0, r0 + sz, axis=0)
+        omp_b = jax.lax.slice_in_dim(one_m_p, r0, r0 + sz, axis=0)
+        M_ref[pl.ds(r0, sz)] = LHS_b[:, :, None] * (
+            p[None, :, :] * p_b[:, None, :]
+        ) + eye_b[:, :, None] * omp_b[:, None, :]
     X_ref[:] = RHS_ref[:] * p  # x lives in the output ref (k, T)
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # (k, 1)
@@ -92,11 +102,14 @@ def _gj_kernel(LHS_ref, RHS_ref, p_ref, X_ref, M_ref, *, k: int):
         f = jnp.where(row_ids == j, 0.0, col_sel)
         f = jnp.where(safe[None, :], f, 0.0)
         # update M in row blocks: a whole-tensor expression would
-        # materialize a second (k, k, T) temp and double the VMEM bill
+        # materialize a second (k, k, T) temp and double the VMEM bill.
+        # lax.slice_in_dim / pl.ds only — jnp value indexing that mixes a
+        # slice with newaxis lowers to a gather Mosaic cannot handle.
         for r0 in range(0, k, _ROW_CHUNK):
-            r1 = min(k, r0 + _ROW_CHUNK)
-            M_ref[r0:r1] = (
-                M_ref[r0:r1] - f[r0:r1, None, :] * row_j[None, :, :]
+            sz = min(k, r0 + _ROW_CHUNK) - r0
+            fa = jax.lax.slice_in_dim(f, r0, r0 + sz, axis=0)
+            M_ref[pl.ds(r0, sz)] = (
+                M_ref[pl.ds(r0, sz)] - fa[:, None, :] * row_j[None, :, :]
             )
         X_ref[:] = X_ref[:] - f * xj[None, :]
         M_ref[pl.ds(j, 1)] = row_j[None]

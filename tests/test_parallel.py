@@ -212,3 +212,54 @@ def test_hierclust_sharded_matches_single_device(mesh_shape):
     assert len(out_tree.nodes) == len(ref_tree.nodes)
     for a, b in zip(out_tree.nodes, ref_tree.nodes):
         np.testing.assert_array_equal(np.sort(a.docs), np.sort(b.docs))
+
+
+def test_flatclust_and_refinement_shard():
+    """run_hier_nmf2 with a mesh: sharded hierclust + sharded NNLS-HALS
+    flat refinement match the single-device results."""
+    import scipy.sparse as sp
+
+    from smallk_tpu.common.options import (
+        ClustOptions, NmfProgressAlgorithm,
+    )
+    from smallk_tpu.engines.flatclust import run_flatclust, run_hier_nmf2
+
+    rng = np.random.RandomState(9)
+    m, n, blocks = 64, 48, 4
+    A = np.abs(rng.rand(m, n)) * 0.05
+    for b in range(blocks):
+        A[b * 16:(b + 1) * 16, b * 12:(b + 1) * 12] += 1.0
+    Asp = sp.csc_matrix(A)
+
+    def copts():
+        return ClustOptions(
+            nmf_opts=NmfOptions(
+                tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+                prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+                min_iter=1, max_iter=500, verbose=False, dtype="float64",
+            ),
+            num_clusters=blocks, verbose=False, flat=True,
+        )
+
+    mesh = make_mesh((2, 4))
+    tree_r, _, flat_r = run_hier_nmf2(Asp, copts(), Random(3))
+    tree_s, _, flat_s = run_hier_nmf2(Asp, copts(), Random(3), mesh=mesh)
+    np.testing.assert_array_equal(tree_s.assignments, tree_r.assignments)
+    assert flat_r is not None and flat_s is not None
+    np.testing.assert_allclose(flat_s["W"], flat_r["W"], rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_array_equal(flat_s["assignments"],
+                                  flat_r["assignments"])
+
+    # direct flatclust under the mesh
+    k = 4
+    W0 = np.abs(rng.rand(m, k))
+    H0 = np.abs(rng.rand(k, n))
+    fopts = NmfOptions(tol=1e-4, algorithm=NmfAlgorithm.BPP, height=m,
+                       width=n, k=k, min_iter=2, max_iter=100,
+                       verbose=False, dtype="float64")
+    Wr, Hr, ar, fr, okr = run_flatclust(Asp, W0, H0, fopts)
+    Ws, Hs, as_, fs, oks = run_flatclust(Asp, W0, H0, fopts, mesh=mesh)
+    assert okr and oks
+    np.testing.assert_allclose(Ws, Wr, rtol=1e-8, atol=1e-10)
+    np.testing.assert_array_equal(as_, ar)

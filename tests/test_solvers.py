@@ -542,3 +542,30 @@ class TestPallasMaskedGJ:
         X = masked_gj_solve_pallas(LHS, RHS, passive, interpret=True)
         assert np.isfinite(np.asarray(X)).all()
         np.testing.assert_allclose(np.asarray(X)[3], 0.0, atol=1e-5)
+
+
+class TestWidthReducedPivot:
+    def test_matches_full_width_exactly(self):
+        """The width-reduced pivot scheduler (nnls._REDUCE_*) replays the
+        same per-column pivot sequences as the full-width body."""
+        import smallk_tpu.solvers.nnls as nn
+
+        rng = np.random.RandomState(0)
+        k, n = 48, 2500
+        B = rng.rand(k, 2 * k)
+        LHS = jnp.asarray(B @ B.T + 0.1 * np.eye(k), DTYPE)
+        RHS = jnp.asarray(B @ rng.rand(2 * k, n), DTYPE)
+        Xinit = jnp.asarray(rng.rand(k, n) - 0.4, DTYPE)
+
+        X1, Y1, ok1 = nn.nnls_blockpivot(LHS, RHS, Xinit)
+        old = nn._REDUCE_MIN_N
+        try:
+            nn._REDUCE_MIN_N = 10 ** 9  # force the full-width body
+            X2, _, ok2 = nn.nnls_blockpivot(LHS, RHS, Xinit)
+        finally:
+            nn._REDUCE_MIN_N = old
+        assert bool(ok1) and bool(ok2)
+        np.testing.assert_allclose(np.asarray(X1), np.asarray(X2),
+                                   atol=1e-9)
+        X, Y = np.asarray(X1), np.asarray(Y1)
+        assert (X >= 0).all() and np.abs(X * Y).max() < 1e-6
