@@ -74,6 +74,11 @@ def _next_pow2(x: int) -> int:
 
 _MIN_BUCKET = 512
 
+# Sibling-pair batched solves: a win only where the solve is
+# latency-bound AND sibling iteration counts are balanced — the vmapped
+# pair runs 2 x max(sibling iterations).  Module knob for benchmarking.
+PAIR_BATCHING = True
+
 
 class _Rank2Runner:
     """Runs per-node rank-2 factorizations on device with retry ladder.
@@ -129,7 +134,7 @@ class _Rank2Runner:
         (tiny subsets, initdir mode — its file-consumption order is
         defined by the sequential reference flow — or non-dense A).
         """
-        if (self._A_ext is None or self.inits.initdir
+        if (not PAIR_BATCHING or self._A_ext is None or self.inits.initdir
                 or len(subset_l) <= 3 or len(subset_r) <= 3):
             return None
         n_b = max(

@@ -179,6 +179,12 @@ def step(a_op, W, H, state: Rank2State):
     return W, H, gradW, gradH, Rank2State(WtW=WtW, WtA=WtA), ok
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("power_iters",))
 def spectral_init_rank2(a_op, v0, power_iters: int = 6):
     """Spectral rank-2 initializer from the top-2 singular pair.
 

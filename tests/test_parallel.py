@@ -263,3 +263,41 @@ def test_flatclust_and_refinement_shard():
     assert okr and oks
     np.testing.assert_allclose(Ws, Wr, rtol=1e-8, atol=1e-10)
     np.testing.assert_array_equal(as_, ar)
+
+
+def test_hierclust_sharded_ell_operand():
+    """BASELINE config 5 shape: hierclust over a mesh with the fast sparse
+    operand — A stays in bucketed-ELL form, sharded once, node subsets as
+    sharded masks."""
+    import scipy.sparse as sp
+
+    from smallk_tpu.common.options import (
+        ClustOptions, NmfProgressAlgorithm,
+    )
+    from smallk_tpu.engines.hierclust import clust_hier
+    from smallk_tpu.ops.ell import EllAOp
+
+    rng = np.random.RandomState(12)
+    m, n, blocks = 64, 48, 4
+    A = np.abs(rng.rand(m, n)) * 0.05
+    for b in range(blocks):
+        A[b * 16:(b + 1) * 16, b * 12:(b + 1) * 12] += 1.0
+    Asp = sp.csc_matrix(A)
+
+    def opts():
+        return ClustOptions(
+            nmf_opts=NmfOptions(
+                tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+                prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+                min_iter=1, max_iter=500, verbose=False, dtype="float64",
+            ),
+            num_clusters=blocks, verbose=False,
+        )
+
+    ref_tree, _ = clust_hier(
+        EllAOp.from_scipy(Asp, dtype=jnp.float64), opts(), Random(7)
+    )
+    mesh = make_mesh((2, 4))
+    ell = EllAOp.from_scipy(Asp, dtype=jnp.float64, pad_multiple=4)
+    out_tree, _ = clust_hier(ell, opts(), Random(7), mesh=mesh)
+    np.testing.assert_array_equal(out_tree.assignments, ref_tree.assignments)
