@@ -65,6 +65,15 @@ class Random:
         """Sample indices from range(n), advancing the engine stream."""
         return self._rs.choice(n, size=size, replace=replace)
 
+    def device_key_seed(self) -> int:
+        """Draw a 31-bit seed from the stream for a jax PRNG key.
+
+        Device-side initializer draws (hierclust's fused node solves) are
+        keyed from the host stream so runs stay deterministic under this
+        class's seed and checkpointed state — the draw advances the
+        MT19937 stream exactly like any other consumption."""
+        return int(self._rs.randint(0, 2**31))
+
     def get_state(self):
         """RNG state accessor (reference Random::GetState, random.hpp:27)."""
         return self._rs.get_state()

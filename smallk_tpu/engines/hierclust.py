@@ -7,25 +7,36 @@ TrialSplit :245-376, ActualSplit :383-517), hierclust/src/clust.cpp
 TPU-native redesign (SURVEY.md §7.3 "dynamic shapes in hierclust"):
 the reference physically extracts each node's column subset with
 row-compaction (A.SubMatrixColsCompact).  Here every node factorization
-runs on the FULL-shape operand wrapped in a column mask (ops.aop.MaskedAOp)
-— masking commutes with the two products, zero columns/rows behave exactly
-like removed ones, and XLA compiles ONE rank-2 solve loop reused for every
-node in the tree (no per-node recompilation, no dynamic shapes).  Tree
-bookkeeping, NDCG priorities, and doc partitioning are host-side numpy.
+runs on a power-of-2-bucketed on-device gather of A's subset columns (or a
+column mask on the full shape for sparse/mesh operands) — masking/zero
+padding commutes with the two products, and XLA compiles ONE rank-2 solve
+loop per bucket width reused across the tree.
+
+Device-resident tree loop: each node runs as ONE fused jitted program
+(gather + initializer draw + solve loop + split labels + NDCG priority);
+the host fetches a single small packed vector per node and never sees W/H
+until the final top-terms ranking.  On hardware reached through a
+high-latency link, per-node W/H round trips would otherwise dominate the
+whole wall clock (measured: 57 ms d2h vs 28 ms solve per node through the
+dev tunnel).  Tree bookkeeping and doc partitioning are host-side numpy.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import NamedTuple, Optional
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..common.options import ClustOptions, ClustStats
 from ..common.rng import Random, random_matrix
 from ..io.delimited import load_delimited
 from ..ops.aop import DenseAOp, MaskedAOp, as_aop
-from ..solvers.solve import nmf_solve
-from .priority import compute_priority
+from ..solvers.solve import _nmf_solve_impl, nmf_solve, reference_pg1
+from .priority import compute_priority, compute_priority_device
 from .tree import Tree
 
 
@@ -35,6 +46,11 @@ class _InitializerSource:
     Random by default; with `initdir`, loads Winit_N.csv / Hinit_N.csv in
     factorization order for deterministic testing (reference
     LoadInitializers, clust_hier_generic.hpp:568-622).
+
+    In random mode the engine draws initializers ON DEVICE (threefry,
+    inside the fused node program) and only consumes a 31-bit key seed
+    from the host stream per factorization — determinism under the host
+    seed and checkpointed RNG state is preserved with zero h2d traffic.
     """
 
     def __init__(self, m, n, rng: Random, initdir=None, dtype=np.float64):
@@ -64,6 +80,10 @@ class _InitializerSource:
         H = random_matrix(2, self.n, self.rng, dtype=self.dtype)
         return W, H
 
+    def next_key(self):
+        """Device PRNG key for one factorization (advances the stream)."""
+        return jax.random.PRNGKey(self.rng.device_key_seed())
+
 
 def _next_pow2(x: int) -> int:
     p = 1
@@ -74,10 +94,115 @@ def _next_pow2(x: int) -> int:
 
 _MIN_BUCKET = 512
 
-# Sibling-pair batched solves: a win only where the solve is
-# latency-bound AND sibling iteration counts are balanced — the vmapped
-# pair runs 2 x max(sibling iterations).  Module knob for benchmarking.
+# Sibling-pair batched solves: a win where the solve is latency-bound
+# (thin widths underutilize the chip) — the vmapped pair runs
+# 2 x max(sibling iterations).  Module knob for benchmarking.
 PAIR_BATCHING = True
+
+
+class _NodeSolve(NamedTuple):
+    """One node factorization result.  W/H stay on device; `left` is the
+    fetched boolean split mask aligned to the subset's doc order;
+    `priority` already encodes the reference's gates (-1 when one side is
+    empty, -3 on a degenerate parent topic)."""
+
+    W: object
+    H: object
+    left: Optional[np.ndarray]
+    priority: float
+    ok: bool
+
+
+def _solve_and_pack(op, valid, W0, H0, w_parent, opts, spectral):
+    """Shared fused-program tail: (optional spectral start) + solve loop +
+    split labels + NDCG priority, packed for ONE small d2h fetch.
+
+    Packed layout: [success, iterations, priority, left_0..left_{nb-1}].
+    """
+    from ..solvers.rank2 import spectral_init_rank2
+
+    pg0 = None
+    if spectral:
+        # tolerance stays anchored to the random-start PG_1 scale; a
+        # degenerate spectral pair falls back to the random start
+        pg0 = reference_pg1(op, W0, H0, opts)
+        W0s, H0s = spectral_init_rank2(op, H0)
+        good = jnp.all(jnp.isfinite(W0s)) & jnp.all(
+            jnp.linalg.norm(W0s, axis=0) > 0
+        )
+        W0 = jnp.where(good, W0s, W0)
+        H0 = jnp.where(good, H0s, H0)
+    res = _nmf_solve_impl(op, W0, H0, opts, False, pg0)
+
+    left = res.H[0, :] > res.H[1, :]
+    has0 = jnp.any(left & valid)
+    has1 = jnp.any((~left) & valid)
+    pr = compute_priority_device(w_parent, res.W)
+    pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
+    packed = jnp.concatenate([
+        jnp.stack([
+            res.success.astype(jnp.float32),
+            res.iterations.astype(jnp.float32),
+            pr.astype(jnp.float32),
+        ]),
+        left.astype(jnp.float32),
+    ])
+    return res.W, res.H, packed
+
+
+def _gather_body(A_ext, idx, key, w_parent, n_full, opts, spectral, fdtype):
+    m = A_ext.shape[0]
+    cols = jnp.take(A_ext, idx, axis=1)  # pad idx == n_full -> zero column
+    op = DenseAOp(cols)
+    valid = idx < n_full
+    kW, kH = jax.random.split(key)
+    W0 = jax.random.uniform(kW, (m, 2), fdtype)
+    # H is drawn at FULL width then gathered so the gather and mask paths
+    # see identical initializer values on the subset columns (this is what
+    # makes sharded-mesh trees equal single-device trees)
+    Hf = jax.random.uniform(kH, (2, n_full), fdtype)
+    H0 = jnp.take(Hf, idx, axis=1, mode="fill", fill_value=0)
+    return _solve_and_pack(op, valid, W0, H0, w_parent, opts, spectral)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_full", "opts", "spectral", "fdtype")
+)
+def _fused_gather_solve(A_ext, idx, key, w_parent, n_full, opts, spectral,
+                        fdtype):
+    return _gather_body(A_ext, idx, key, w_parent, n_full, opts, spectral,
+                        fdtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_full", "opts", "spectral", "fdtype")
+)
+def _fused_gather_pair(A_ext, idx2, keys2, w_parents2, n_full, opts,
+                       spectral, fdtype):
+    return jax.vmap(
+        lambda idx, key, wp: _gather_body(
+            A_ext, idx, key, wp, n_full, opts, spectral, fdtype
+        )
+    )(idx2, keys2, w_parents2)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "spectral", "fdtype"))
+def _fused_masked_solve(a_op, idx, key, w_parent, opts, spectral, fdtype):
+    """Full-shape node solve: idx scatters a column mask (None == full A).
+    Used for the root, wide subsets, sparse operands, and mesh runs (the
+    mask's sharding follows A's via GSPMD, SURVEY §5.8)."""
+    m, n = a_op.shape
+    if idx is None:
+        op = a_op
+        valid = jnp.ones((n,), jnp.bool_)
+    else:
+        mask = jnp.zeros((n,), a_op.dtype).at[idx].set(1, mode="drop")
+        valid = jnp.zeros((n,), jnp.bool_).at[idx].set(True, mode="drop")
+        op = MaskedAOp(a_op, mask)
+    kW, kH = jax.random.split(key)
+    W0 = jax.random.uniform(kW, (m, 2), fdtype)
+    H0 = jax.random.uniform(kH, (2, n), fdtype)
+    return _solve_and_pack(op, valid, W0, H0, w_parent, opts, spectral)
 
 
 class _Rank2Runner:
@@ -104,6 +229,7 @@ class _Rank2Runner:
         self.stats = stats
         self.dtype = dtype
         self.mesh = mesh
+        self.spectral = opts.init_method == "spectral"
         m, n = a_op.shape
         self.m, self.n = m, n
         self._A_ext = None  # dense A with one trailing zero column
@@ -116,100 +242,125 @@ class _Rank2Runner:
                 [a_op.A, jnp.zeros((m, 1), a_op.A.dtype)], axis=1
             )
 
-    def _gathered_op(self, subset, n_b):
-        """DenseAOp over A[:, subset] zero-padded to n_b columns."""
-        idx = np.full(n_b, self.n, dtype=np.int32)  # pad -> zero column
-        idx[: len(subset)] = subset
-        cols = jnp.take(self._A_ext, jnp.asarray(idx), axis=1)
-        return DenseAOp(cols)
+    def _wp(self, w_parent):
+        if w_parent is None:
+            return jnp.zeros((self.m,), self.dtype)
+        return jnp.asarray(w_parent, self.dtype)
 
-    def solve_pair(self, subset_l, subset_r):
-        """Factor the two children of a split as ONE batched solve.
+    def _padded_idx(self, subset, n_b):
+        idx = np.full(n_b, self.n, dtype=np.int32)  # pad -> sentinel n
+        idx[: len(subset)] = subset
+        return jnp.asarray(idx)
+
+    def _record(self, success, iterations):
+        if success:
+            self.stats.nmf_count += 1
+            if iterations >= self.opts.nmf_opts.max_iter:
+                self.stats.max_count += 1
+        return success
+
+    def solve_pair(self, subset_l, subset_r, wp_l=None, wp_r=None):
+        """Factor the two children of a split as ONE batched fused solve.
 
         Siblings partition the same parent and typically need similar
         iteration counts; vmapping the (done-gated, see solvers/solve.py)
         solve loop over the stacked pair halves dispatch count and doubles
-        chip utilization on the latency-bound small widths.  Returns
-        [(W, H_subset, ok), (W, H_subset, ok)] or None when ineligible
-        (tiny subsets, initdir mode — its file-consumption order is
-        defined by the sequential reference flow — or non-dense A).
+        chip utilization on the latency-bound thin widths.  Returns
+        [_NodeSolve, _NodeSolve] or None when ineligible (tiny subsets,
+        initdir mode — its file-consumption order is defined by the
+        sequential reference flow — or non-dense A).
         """
         if (not PAIR_BATCHING or self._A_ext is None or self.inits.initdir
                 or len(subset_l) <= 3 or len(subset_r) <= 3):
             return None
+        subsets = (np.asarray(subset_l), np.asarray(subset_r))
         n_b = max(
             _MIN_BUCKET,
             _next_pow2(max(len(subset_l), len(subset_r))),
         )
-        # batched cost is 2 x max(sibling iterations): a win only where
-        # the solve is latency-bound (small widths underutilize the chip);
-        # at large widths sibling iteration imbalance makes it a loss
-        if n_b >= self.n or n_b > 2 * _MIN_BUCKET:
+        if n_b >= self.n:
             return None
 
-        import jax
-
-        from ..solvers.solve import _nmf_solve_impl
-
-        subsets = (np.asarray(subset_l), np.asarray(subset_r))
+        nmf_opts = self.opts.nmf_opts
         idx = np.full((2, n_b), self.n, dtype=np.int32)
         for i, s in enumerate(subsets):
             idx[i, : len(s)] = s
-        A_pair = jnp.transpose(
-            jnp.take(self._A_ext, jnp.asarray(idx.reshape(-1)), axis=1)
-            .reshape(self.m, 2, n_b),
-            (1, 0, 2),
-        )  # (2, m, n_b)
+        keys = jnp.stack([self.inits.next_key(), self.inits.next_key()])
+        wps = jnp.stack([self._wp(wp_l), self._wp(wp_r)])
 
-        W0s = np.empty((2, self.m, 2))
-        H0s = np.zeros((2, 2, n_b))
-        for i, s in enumerate(subsets):
-            W0, H0 = self.inits.next()
-            W0s[i] = W0
-            H0s[i, :, : len(s)] = H0[:, s]
-
-        nmf_opts = self.opts.nmf_opts
-        spectral = self.opts.init_method == "spectral"
-
-        def one(A, W0, H0):
-            op = DenseAOp(A)
-            pg0 = None
-            if spectral:
-                from ..solvers.rank2 import spectral_init_rank2
-                from ..solvers.solve import reference_pg1
-
-                # tolerance stays anchored to the random-start PG_1 scale
-                pg0 = reference_pg1(op, W0, H0, nmf_opts)
-                W0, H0 = spectral_init_rank2(op, H0)
-            return _nmf_solve_impl(op, W0, H0, nmf_opts, False, pg0)
-
-        res = jax.vmap(one)(
-            A_pair, jnp.asarray(W0s, self.dtype), jnp.asarray(H0s, self.dtype)
+        W_, H_, packed = _fused_gather_pair(
+            self._A_ext, jnp.asarray(idx), keys, wps,
+            n_full=self.n, opts=nmf_opts, spectral=self.spectral,
+            fdtype=self.dtype,
         )
+        ph = np.asarray(packed)  # one fetch: (2, 3 + n_b)
 
         out = []
         for i, s in enumerate(subsets):
-            if bool(res.success[i]):
-                self.stats.nmf_count += 1
-                if int(res.iterations[i]) >= nmf_opts.max_iter:
-                    self.stats.max_count += 1
-                out.append((
-                    np.asarray(res.W[i]),
-                    np.asarray(res.H[i])[:, : len(s)],
-                    True,
-                ))
+            if self._record(ph[i, 0] > 0.5, int(ph[i, 1])):
+                left = ph[i, 3:3 + len(s)] > 0.5
+                out.append(
+                    _NodeSolve(W_[i], H_[i], left, float(ph[i, 2]), True)
+                )
             else:
                 # rare singular failure: retry ladder takes over serially
-                out.append(self.solve(s))
+                out.append(self.solve(s, wp_l if i == 0 else wp_r))
         return out
 
-    def solve(self, subset=None, max_attempts=3):
+    def solve(self, subset=None, w_parent=None, max_attempts=3):
         """Factor A[:, subset] (full A when subset is None).
 
-        Returns (W (m,2), H_subset (2,|subset|), success).  Retries with
-        fresh initializers up to `max_attempts` times on solver failure
-        (singular system), mirroring clust_hier_generic.hpp:123-151,435-472.
+        Returns a _NodeSolve.  Retries with fresh initializers up to
+        `max_attempts` times on solver failure (singular system),
+        mirroring clust_hier_generic.hpp:123-151,435-472.
         """
+        if self.inits.initdir:
+            return self._solve_hostinit(subset, w_parent, max_attempts)
+
+        nmf_opts = self.opts.nmf_opts
+        wp = self._wp(w_parent)
+        for attempt in range(max_attempts):
+            key = self.inits.next_key()
+            # spectral start on the first attempt only: a retry means the
+            # spectral basin failed and the reference's random restart is
+            # the escape hatch
+            spectral = self.spectral and attempt == 0
+            if subset is None:
+                W_, H_, packed = _fused_masked_solve(
+                    self.a_op, None, key, wp,
+                    opts=nmf_opts, spectral=spectral, fdtype=self.dtype,
+                )
+                sel = slice(None)
+            else:
+                n_b = max(_MIN_BUCKET, _next_pow2(len(subset)))
+                if self._A_ext is not None and n_b < self.n:
+                    W_, H_, packed = _fused_gather_solve(
+                        self._A_ext, self._padded_idx(subset, n_b), key, wp,
+                        n_full=self.n, opts=nmf_opts, spectral=spectral,
+                        fdtype=self.dtype,
+                    )
+                    sel = slice(0, len(subset))
+                else:
+                    # bucket the scatter width like the gather path, or
+                    # every distinct subset size would retrace (and
+                    # recompile) the whole fused solve program
+                    W_, H_, packed = _fused_masked_solve(
+                        self.a_op, self._padded_idx(subset, n_b), key, wp,
+                        opts=nmf_opts, spectral=spectral, fdtype=self.dtype,
+                    )
+                    sel = np.asarray(subset)
+            ph = np.asarray(packed)
+            if self._record(ph[0] > 0.5, int(ph[1])):
+                left = (ph[3:] > 0.5)[sel]
+                return _NodeSolve(W_, H_, left, float(ph[2]), True)
+            if self.opts.verbose:
+                print("\nNode factorization failed, retrying with new "
+                      "initializers...")
+        return _NodeSolve(None, None, None, -1.0, False)
+
+    def _solve_hostinit(self, subset, w_parent, max_attempts):
+        """initdir parity path: host-loaded initializers, host priority
+        (f64 reference transcription), sequential file consumption."""
         nmf_opts = self.opts.nmf_opts
         bucket = None
         if subset is None:
@@ -218,23 +369,14 @@ class _Rank2Runner:
             n_b = max(_MIN_BUCKET, _next_pow2(len(subset)))
             if self._A_ext is not None and n_b < self.n:
                 bucket = n_b
-                a_op = self._gathered_op(subset, n_b)
+                idx = np.full(n_b, self.n, dtype=np.int32)
+                idx[: len(subset)] = subset
+                cols = jnp.take(self._A_ext, jnp.asarray(idx), axis=1)
+                a_op = DenseAOp(cols)
             else:
                 mask = np.zeros(self.n, dtype=self.dtype)
                 mask[subset] = 1.0
-                mask_dev = jnp.asarray(mask)
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding
-                    from jax.sharding import PartitionSpec as P
-
-                    import jax
-
-                    mask_dev = jax.device_put(
-                        mask_dev,
-                        NamedSharding(self.mesh,
-                                      P(self.mesh.axis_names[1])),
-                    )
-                a_op = MaskedAOp(self.a_op, mask_dev)
+                a_op = MaskedAOp(self.a_op, jnp.asarray(mask))
 
         for attempt in range(max_attempts):
             W0, H0 = self.inits.next()
@@ -242,41 +384,11 @@ class _Rank2Runner:
                 H0b = np.zeros((2, bucket), dtype=H0.dtype)
                 H0b[:, : len(subset)] = H0[:, subset]
                 H0 = H0b
-            W0 = jnp.asarray(W0, self.dtype)
-            H0 = jnp.asarray(H0, self.dtype)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_factors
-
-                try:
-                    W0, H0 = shard_factors(W0, H0, self.mesh)
-                except ValueError:
-                    pass  # uneven shapes: GSPMD reshards from replicated
-            pg0 = None
-            # spectral init on the first attempt only: retries mean the
-            # spectral start failed (degenerate second singular pair) and
-            # the reference's random restart is the escape hatch
-            if (attempt == 0 and not self.inits.initdir
-                    and self.opts.init_method == "spectral"):
-                from ..solvers.rank2 import spectral_init_rank2
-                from ..solvers.solve import reference_pg1
-
-                W0s, H0s = spectral_init_rank2(a_op, H0)
-                if bool(jnp.all(jnp.isfinite(W0s))
-                        & (jnp.linalg.norm(W0s, axis=0) > 0).all()):
-                    # tolerance anchored to the random-start PG_1 scale
-                    pg0 = reference_pg1(a_op, W0, H0, nmf_opts)
-                    W0, H0 = W0s, H0s
             res = nmf_solve(
-                a_op,
-                W0,
-                H0,
-                nmf_opts,
-                pg0_hint=pg0,
+                a_op, jnp.asarray(W0, self.dtype),
+                jnp.asarray(H0, self.dtype), nmf_opts,
             )
-            if bool(res.success):
-                self.stats.nmf_count += 1
-                if int(res.iterations) >= nmf_opts.max_iter:
-                    self.stats.max_count += 1
+            if self._record(bool(res.success), int(res.iterations)):
                 W = np.asarray(res.W)
                 H = np.asarray(res.H)
                 if subset is None:
@@ -285,11 +397,15 @@ class _Rank2Runner:
                     H_out = H[:, : len(subset)]
                 else:
                     H_out = H[:, subset]
-                return W, H_out, True
+                left = H_out[0, :] > H_out[1, :]
+                priority = -1.0
+                if left.any() and (~left).any() and w_parent is not None:
+                    priority = compute_priority(np.asarray(w_parent), W)
+                return _NodeSolve(W, H_out, left, priority, True)
             if self.opts.verbose:
                 print("\nNode factorization failed, retrying with new "
                       "initializers...")
-        return None, None, False
+        return _NodeSolve(None, None, None, -1.0, False)
 
 
 def _actual_split(runner: _Rank2Runner, subset, w_parent,
@@ -297,31 +413,21 @@ def _actual_split(runner: _Rank2Runner, subset, w_parent,
     """One split attempt on a column subset.
 
     Reference: ActualSplit (clust_hier_generic.hpp:383-517).
-    Returns (priority, W (m,2), H (2,|subset|), labels (|subset|,)).
-    `precomputed` carries a (W, H, ok) result from a batched pair solve.
+    Returns (priority, W (m,2) device, left (|subset|,) bool).
+    `precomputed` carries a _NodeSolve from a batched pair solve.
     """
     m = runner.m
     if len(subset) <= 3:
-        labels = np.ones(len(subset), dtype=np.int64)
-        return -1.0, np.zeros((m, 2)), np.zeros((2, len(subset))), labels
+        return -1.0, np.zeros((m, 2)), np.zeros(len(subset), dtype=bool)
 
-    if precomputed is not None:
-        W, H, ok = precomputed
-    else:
-        W, H, ok = runner.solve(subset)
-    if not ok:
+    ns = precomputed if precomputed is not None else runner.solve(
+        subset, w_parent
+    )
+    if not ns.ok:
         raise RuntimeError(
             "HierNMF2: node factorization failed after three attempts."
         )
-
-    labels = np.where(H[0, :] > H[1, :], 0, 1).astype(np.int64)
-    has_0 = bool((labels == 0).any())
-    has_1 = bool((labels == 1).any())
-
-    priority = -1.0
-    if has_0 and has_1:
-        priority = compute_priority(w_parent, W)
-    return priority, W, H, labels
+    return ns.priority, ns.W, ns.left
 
 
 def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
@@ -331,7 +437,7 @@ def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
     Reference: TrialSplit (clust_hier_generic.hpp:245-376).  May shrink
     `subset` by dropping outlier items; on exhausting trial_allowance the
     node becomes a permanent leaf (priority -2) with its original docs.
-    Returns (priority, subset, W, H).
+    Returns (priority, subset, W, left).
     """
     subset = np.asarray(subset, dtype=np.int64)
     subset_backup = subset.copy()
@@ -339,24 +445,24 @@ def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
 
     trial = 0
     priority_one = -2.0
-    W = H = None
+    W = left = None
     while trial < opts.trial_allowance:
-        priority_one, W, H, labels = _actual_split(
+        priority_one, W, left = _actual_split(
             runner, subset, w_parent, precomputed=first
         )
         first = None  # only valid for the untouched initial subset
         if priority_one < 0:
             break
 
-        counts = np.bincount(labels, minlength=2)
+        counts = np.array([int(left.sum()), int((~left).sum())])
         smallest_size = int(counts.min())
-        if smallest_size < opts.unbalanced * len(labels):
+        if smallest_size < opts.unbalanced * len(left):
             label_small = 0 if smallest_size == counts[0] else 1
-            subset_small = subset[labels == label_small]
+            subset_small = subset[left if label_small == 0 else ~left]
 
             # score the small cluster on its own; its parent topic vector is
             # the corresponding column of this split's W
-            pr_small, _, _, _ = _actual_split(
+            pr_small, _, _ = _actual_split(
                 runner, subset_small, W[:, label_small]
             )
             if pr_small < min_priority:
@@ -376,17 +482,18 @@ def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
             print(f"recycling {len(subset_small)} items ...")
         subset = subset_backup
         W = np.zeros((runner.m, 2))
-        H = np.zeros((2, len(subset)))
+        left = np.zeros(len(subset), dtype=bool)
         priority_one = -2.0
 
-    return priority_one, subset, W, H
+    return priority_one, subset, W, left
 
 
-def _save_hier_checkpoint(path, tree, W_buffer, H_buffer, rng, stats,
-                          i_next, root_W=None, root_H=None):
+def _save_hier_checkpoint(path, tree, W_buffer, L_buffer, rng, stats,
+                          i_next, root_W=None, root_left=None):
     """Atomic npz checkpoint of the full hierclust state (SURVEY §5.4:
     'checkpoint = (W, H, iteration, RNG key, tree state)' — new scope
-    beyond the reference, which has no checkpointing)."""
+    beyond the reference, which has no checkpointing).  Device buffers
+    are fetched on demand here; the hot loop never does."""
     import os
     import pickle
     import tempfile
@@ -398,13 +505,13 @@ def _save_hier_checkpoint(path, tree, W_buffer, H_buffer, rng, stats,
     payload["rng_state"] = np.frombuffer(
         pickle.dumps(rng.get_state()), dtype=np.uint8
     )
-    for idx, (Wb, Hb) in enumerate(zip(W_buffer, H_buffer)):
+    for idx, (Wb, Lb) in enumerate(zip(W_buffer, L_buffer)):
         if Wb is not None:
-            payload[f"Wbuf_{idx}"] = Wb
-            payload[f"Hbuf_{idx}"] = Hb
+            payload[f"Wbuf_{idx}"] = np.asarray(Wb)
+            payload[f"Lbuf_{idx}"] = np.asarray(Lb, dtype=bool)
     if root_W is not None:
-        payload["root_W"] = root_W
-        payload["root_H"] = root_H
+        payload["root_W"] = np.asarray(root_W)
+        payload["root_left"] = np.asarray(root_left, dtype=bool)
 
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".hckpt.tmp")
@@ -425,14 +532,14 @@ def _load_hier_checkpoint(path, node_count):
         arrs = {k: z[k] for k in z.files}
     tree = Tree.from_arrays(arrs)
     W_buffer = [None] * node_count
-    H_buffer = [None] * node_count
+    L_buffer = [None] * node_count
     for idx in range(node_count):
         if f"Wbuf_{idx}" in arrs:
             W_buffer[idx] = arrs[f"Wbuf_{idx}"]
-            H_buffer[idx] = arrs[f"Hbuf_{idx}"]
+            L_buffer[idx] = arrs[f"Lbuf_{idx}"]
     rng_state = pickle.loads(bytes(arrs["rng_state"]))
-    root = (arrs.get("root_W"), arrs.get("root_H"))
-    return (tree, W_buffer, H_buffer, rng_state, int(arrs["i_next"]),
+    root = (arrs.get("root_W"), arrs.get("root_left"))
+    return (tree, W_buffer, L_buffer, rng_state, int(arrs["i_next"]),
             int(arrs["nmf_count"]), int(arrs["max_count"]), root)
 
 
@@ -478,34 +585,35 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     inits = _InitializerSource(m, n, rng, opts.initdir, dtype=np.float64)
     runner = _Rank2Runner(a_op, opts, inits, stats, dtype, mesh=mesh)
 
-    W = H = None
+    W = left = None
     start_i = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
-        (tree, W_buffer, H_buffer, rng_state, start_i,
+        (tree, W_buffer, L_buffer, rng_state, start_i,
          stats.nmf_count, stats.max_count, root) = _load_hier_checkpoint(
             checkpoint_path, node_count
         )
         rng.set_state(rng_state)
         if start_i == 0:
-            W, H = root
+            W, left = root
     else:
         tree = Tree()
         tree.init(num_clusters, node_count, m, n)
 
         # factor the root (<= 3 attempts)
-        W, H, ok = runner.solve(None)
-        if not ok:
+        ns = runner.solve(None)
+        if not ns.ok:
             raise RuntimeError(
                 "HierNMF2: root node factorization failed after three "
                 "attempts"
             )
+        W, left = ns.W, ns.left
 
         W_buffer = [None] * node_count
-        H_buffer = [None] * node_count
+        L_buffer = [None] * node_count
         if checkpoint_path:
             _save_hier_checkpoint(
-                checkpoint_path, tree, W_buffer, H_buffer, rng, stats, 0,
-                root_W=W, root_H=H,
+                checkpoint_path, tree, W_buffer, L_buffer, rng, stats, 0,
+                root_W=W, root_left=left,
             )
 
     split_index = 0
@@ -513,7 +621,7 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     for i in range(start_i, num_clusters - 1):
         if i == 0:
             min_priority = np.inf
-            tree.split_root(W, H)
+            tree.split_root(W, labels=left)
         else:
             min_priority, max_priority, split_index = (
                 tree.min_max_leaf_priorities()
@@ -523,32 +631,34 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                     print("\nHierNMF2: no further factorization possible.\n")
                 break
             W = W_buffer[split_index]
-            H = H_buffer[split_index]
-            tree.split(split_index, W, H)
+            left = L_buffer[split_index]
+            tree.split(split_index, W, labels=left)
 
         # factor both children; eligible pairs run as one batched solve
-        pair = runner.solve_pair(tree.left_child_docs(),
-                                 tree.right_child_docs())
+        pair = runner.solve_pair(
+            tree.left_child_docs(), tree.right_child_docs(),
+            tree.left_child_topic_vector(), tree.right_child_topic_vector(),
+        )
         for slot, (idx, docs_fn, tv_fn) in enumerate((
             (tree.index0, tree.left_child_docs, tree.left_child_topic_vector),
             (tree.index1, tree.right_child_docs,
              tree.right_child_topic_vector),
         )):
-            priority, subset, W_c, H_c = _trial_split(
+            priority, subset, W_c, left_c = _trial_split(
                 runner, docs_fn(), min_priority, tv_fn(), opts,
                 first=None if pair is None else pair[slot],
             )
             tree.nodes[idx].docs = subset  # TrialSplit may drop outliers
             tree.set_node_priority(idx, priority)
             W_buffer[idx] = W_c
-            H_buffer[idx] = H_c
+            L_buffer[idx] = left_c
 
         if opts.verbose:
             print(f"[{i + 1}] ", end="", flush=True)
 
         if checkpoint_path:
             _save_hier_checkpoint(
-                checkpoint_path, tree, W_buffer, H_buffer, rng, stats,
+                checkpoint_path, tree, W_buffer, L_buffer, rng, stats,
                 i + 1,
             )
         if _interrupt_after is not None and (i + 1) >= _interrupt_after:

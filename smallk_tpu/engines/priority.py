@@ -7,8 +7,12 @@ Reference: hierclust/include/clust_hier_util.hpp
     nonzero terms.
   - NDCG_part (:62-99).
 
-Host-side numpy: these are sort-dominated, O(m log m), negligible next to
-the device-side factorizations.
+Two implementations with identical semantics:
+  - compute_priority: host numpy (reference transcription, used by the
+    initdir/resume paths and as the parity oracle);
+  - compute_priority_device: pure-jnp, traced inside the fused node-solve
+    program so hierclust never ships W back to the host just to score a
+    split (the d2h round trip costs more than the whole NDCG).
 """
 
 from __future__ import annotations
@@ -98,3 +102,66 @@ def compute_priority(w_parent: np.ndarray, w_child: np.ndarray) -> float:
         _ndcg_part(idx_parent, idx_child1, weight, weight_part)
         * _ndcg_part(idx_parent, idx_child2, weight, weight_part)
     )
+
+
+def compute_priority_device(w_parent, w_child):
+    """jnp transcription of compute_priority, traceable under jit.
+
+    Scores run in w_parent's float dtype (f64 on the CPU test mesh, f32 on
+    TPU); priorities only order candidate splits, so the f32 cumulative
+    error (~1e-6 relative here) never matters except at exact ties, which
+    are the sentinel constants (-1/-2/-3) both versions produce exactly.
+
+    Only the totals of the reference's cumulative NDCG scores are used
+    (cum_score[-1] == sum), so the device version skips the cumsums.
+    """
+    import jax.numpy as jnp
+
+    w_parent = jnp.reshape(w_parent, (-1,))
+    n = w_parent.shape[0]
+    fl = w_parent.dtype
+    i = jnp.arange(n)
+    i32 = i.astype(jnp.int32)
+
+    n_part = jnp.count_nonzero(w_parent)
+    idx_parent = jnp.argsort(-w_parent, stable=True)
+    idx_c1 = jnp.argsort(-w_child[:, 0], stable=True)
+    idx_c2 = jnp.argsort(-w_child[:, 1], stable=True)
+
+    # weight[i] = log(n - i); ranks at/after the first zero parent value
+    # get weight 1 (topic vectors are nonnegative, so "first zero onward"
+    # is a cumulative condition on the descending sort)
+    weight = jnp.log((n - i).astype(fl))
+    sorted_vals = w_parent[idx_parent]
+    zero_seen = jnp.cumsum((sorted_vals == 0).astype(jnp.int32)) > 0
+    weight = jnp.where(zero_seen, jnp.asarray(1.0, fl), weight)
+    weight_part = jnp.where(
+        i < n_part,
+        jnp.log(jnp.maximum(n_part - i, 1).astype(fl)),
+        jnp.asarray(0.0, fl),
+    )
+
+    # per-term worst rank across the two children
+    rank1 = jnp.zeros(n, jnp.int32).at[idx_c1].set(i32)
+    rank2 = jnp.zeros(n, jnp.int32).at[idx_c2].set(i32)
+    max_pos = jnp.maximum(rank1, rank2)
+    discount = jnp.log((n - max_pos[idx_parent]).astype(fl))
+    discount = jnp.where(
+        discount == 0, jnp.log(jnp.asarray(2.0, fl)), discount
+    )
+    weight = weight / discount
+    weight_part = weight_part / discount
+
+    # NDCG_part totals (clust_hier_util.hpp:62-99)
+    seq_idx = jnp.zeros(n, jnp.int32).at[idx_parent].set(i32)
+    temp_wp = weight_part[seq_idx]
+    disc = jnp.where(
+        i >= 1, jnp.log2((i + 1).astype(fl)), jnp.asarray(1.0, fl)
+    )
+    ideal_sum = jnp.sum(jnp.sort(weight)[::-1] / disc)
+
+    def part(test):
+        return jnp.sum(temp_wp[test] / disc) / ideal_sum
+
+    pr = part(idx_c1) * part(idx_c2)
+    return jnp.where(n_part <= 1, jnp.asarray(-3.0, fl), pr)

@@ -55,9 +55,13 @@ class Tree:
 
     # --- split operations -------------------------------------------------
 
-    def split_root(self, W: np.ndarray, H: np.ndarray) -> None:
+    def split_root(self, W, H=None, labels=None) -> None:
         """Partition all docs between the root's two children by
-        H(0,c) > H(1,c) (reference SplitRoot, tree.hpp:223-263)."""
+        H(0,c) > H(1,c) (reference SplitRoot, tree.hpp:223-263).
+
+        `labels`: optional precomputed boolean "goes left" mask — the
+        device-resident hierclust engine computes it on chip and fetches
+        only this small vector instead of the full H."""
         self.index0, self.index1 = 0, 1
         for idx, is_left in ((0, True), (1, False)):
             node = self.nodes[idx]
@@ -69,15 +73,23 @@ class Tree:
             self.is_leaf[idx] = True
         self.active_nodes += 2
 
-        left = H[0, :] > H[1, :]
-        all_docs = np.arange(H.shape[1], dtype=np.int64)
+        left = self._left_mask(H, labels)
+        all_docs = np.arange(len(left), dtype=np.int64)
         self.nodes[0].docs = all_docs[left]
         self.nodes[1].docs = all_docs[~left]
         self._update_topic_vectors(W)
 
-    def split(self, node_index: int, W: np.ndarray, H: np.ndarray) -> None:
+    @staticmethod
+    def _left_mask(H, labels):
+        if labels is not None:
+            return np.asarray(labels, dtype=bool)
+        H = np.asarray(H)
+        return H[0, :] > H[1, :]
+
+    def split(self, node_index: int, W, H=None, labels=None) -> None:
         """Split an existing leaf; H has one column per doc in the node's
-        subset (reference Split, tree.hpp:267-317)."""
+        subset (reference Split, tree.hpp:267-317).  `labels` as in
+        split_root."""
         self.index0 = self.active_nodes
         self.index1 = self.active_nodes + 1
         self.active_nodes += 2
@@ -97,14 +109,21 @@ class Tree:
             self.is_leaf[idx] = True
 
         source_docs = parent.docs
-        left = H[0, :] > H[1, :]
+        left = self._left_mask(H, labels)
         self.nodes[self.index0].docs = source_docs[left]
         self.nodes[self.index1].docs = source_docs[~left]
         self._update_topic_vectors(W)
 
-    def _update_topic_vectors(self, W: np.ndarray) -> None:
-        self.nodes[self.index0].topic_vector = np.array(W[:, 0])
-        self.nodes[self.index1].topic_vector = np.array(W[:, 1])
+    def _update_topic_vectors(self, W) -> None:
+        if isinstance(W, np.ndarray):
+            self.nodes[self.index0].topic_vector = np.array(W[:, 0])
+            self.nodes[self.index1].topic_vector = np.array(W[:, 1])
+        else:
+            # device array: keep columns on device (no d2h); consumers
+            # (priority scoring, batched top terms, flatclust init) all
+            # run on device, and serialization fetches on demand
+            self.nodes[self.index0].topic_vector = W[:, 0]
+            self.nodes[self.index1].topic_vector = W[:, 1]
 
     # --- queries ----------------------------------------------------------
 
@@ -145,8 +164,26 @@ class Tree:
     def compute_top_terms(self, max_terms: int) -> None:
         from .assignments import top_terms
 
+        # device topic vectors are ranked in ONE batched argsort and one
+        # small fetch ((nodes, max_terms) int32) — per-node host top_terms
+        # would cost a d2h round trip per node
+        dev = [
+            node for node in self.nodes
+            if (node.is_valid and node.topic_vector is not None
+                and not isinstance(node.topic_vector, np.ndarray))
+        ]
+        if dev:
+            import jax.numpy as jnp
+
+            stacked = jnp.stack([n.topic_vector for n in dev], axis=0)
+            order = np.asarray(
+                jnp.argsort(-stacked, axis=1, stable=True)[:, :max_terms]
+            )
+            for q, node in enumerate(dev):
+                node.term_indices = order[q].astype(np.int64)
         for node in self.nodes:
-            if node.is_valid and node.topic_vector is not None:
+            if (node.is_valid and node.topic_vector is not None
+                    and isinstance(node.topic_vector, np.ndarray)):
                 node.term_indices = top_terms(node.topic_vector, max_terms)
 
     def compute_assignments(self) -> None:
@@ -163,17 +200,23 @@ class Tree:
         self.outliers = np.where(self.assignments == NONE)[0]
         assert self.leaf_doc_count + len(self.outliers) == self.total_docs
 
-    def flatclust_init_w(self, m: int, k: int) -> np.ndarray:
+    def flatclust_init_w(self, m: int, k: int):
         """Leaf topic vectors -> (m, k) W initializer for flat refinement
-        (reference FlatclustInitW, tree.hpp:414-460)."""
+        (reference FlatclustInitW, tree.hpp:414-460).  Returns a device
+        array (no host round trip) when the vectors live on device."""
         leaves = [q for q, leaf in enumerate(self.is_leaf) if leaf]
         if len(leaves) != k:
             raise ValueError(
                 f"flatclust needs {k} leaves, tree has {len(leaves)}"
             )
+        vecs = [self.nodes[q].topic_vector for q in leaves]
+        if any(not isinstance(v, np.ndarray) for v in vecs):
+            import jax.numpy as jnp
+
+            return jnp.stack([jnp.asarray(v) for v in vecs], axis=1)
         W = np.zeros((m, k))
         for c, q in enumerate(leaves):
-            W[:, c] = self.nodes[q].topic_vector
+            W[:, c] = vecs[c]
         return W
 
     # --- serialization (checkpoint/resume support) ------------------------

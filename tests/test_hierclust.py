@@ -84,7 +84,7 @@ class TestClustHier:
         A, labels = _planted_matrix(k=3, noise=0.0)
         A_sp = sp.csc_matrix(A)
         opts = _clust_opts(3)
-        tree, _ = clust_hier(A_sp, opts, Random(5))
+        tree, _ = clust_hier(A_sp, opts, Random(1))
         a = tree.assignments
         assigned = a >= 0
         assert _purity(a[assigned], labels[assigned]) > 0.95
