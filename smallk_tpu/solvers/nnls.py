@@ -121,13 +121,18 @@ def _masked_cholesky_solve(LHS, RHS, passive):
     """
     k, n = RHS.shape
     elem = jnp.dtype(LHS.dtype).itemsize
-    if k >= _COMPACT_MIN_K:
-        if MASKED_SOLVER == "auto" and _pallas_ok(LHS.dtype):
-            # VMEM-resident kernel: no compaction machinery needed — the
-            # full-k elimination never touches HBM between pivots
-            from .pallas_kernels import masked_gj_solve_pallas
+    if MASKED_SOLVER == "auto" and _pallas_ok(LHS.dtype):
+        # VMEM-resident kernel at EVERY rank (was k >= _COMPACT_MIN_K
+        # only): the full-k elimination never touches HBM between pivots.
+        # Measured BPP end-to-end, v5e reuters shape, within-process
+        # (scripts/tpu_batch10/11): kernel vs XLA GJ — k=8 829 vs 563,
+        # k=16 386 vs 195, k=32 193 vs 60 it/s; k >= 48 routed here
+        # before this change (k=64 54, k=128 10-11 it/s with the
+        # width-reduced pivot rounds, which only pay at those ranks).
+        from .pallas_kernels import masked_gj_solve_pallas
 
-            return masked_gj_solve_pallas(LHS, RHS, passive)
+        return masked_gj_solve_pallas(LHS, RHS, passive)
+    if k >= _COMPACT_MIN_K:
         block = _compact_solve_block
     elif k <= _GJ_MAX_K:
         block = _gj_solve_block
