@@ -65,6 +65,23 @@ def bench_all():
         "vs_baseline": round(2.758 / dt, 2),
     })
 
+    # hierclust at 20news scale: 39727x11237, 15 clusters (reference:
+    # 10.308 s, 41/41 factorizations converged, pages_tests.rst:229-258)
+    m2, n2 = 39727, 11237
+    A2, _ = synthetic_term_doc_corpus(m2, n2, 20, seed=13)
+    copts2 = ClustOptions(
+        nmf_opts=copts.nmf_opts, num_clusters=15, verbose=False,
+    )
+    clust_hier(A2, copts2, Random(1))  # compile
+    t0 = time.perf_counter()
+    _, stats2 = clust_hier(A2, copts2, Random(2))
+    dt2 = time.perf_counter() - t0
+    out.append({
+        "metric": "hierclust_15_clusters_20news_shape_wall_s",
+        "value": round(dt2, 2), "unit": "seconds",
+        "vs_baseline": round(10.308 / dt2, 2),
+    })
+
     # high-rank BPP (BASELINE config 4 regime: rank-128 factorization).
     # The reference publishes no k=128 number (int32 limits cap its
     # scale); vs_baseline is the ratio to this repo's round-1 value
@@ -90,7 +107,9 @@ def bench_all():
         r = nmf_solve(aop_hi, W0h, H0h, hopts_hi)
         r.W.block_until_ready()
         walls[iters] = time.perf_counter() - t0
-    rate_hi = 20.0 / (walls[25] - walls[5])
+    # guard the two-point fit: host timing noise could make the 25-iter
+    # wall <= the 5-iter wall, which must not poison the recorded metric
+    rate_hi = 20.0 / max(walls[25] - walls[5], 1e-6)
     out.append({
         "metric": "nmf_bpp_iters_per_sec_reuters_shape_k128",
         "value": round(rate_hi, 2), "unit": "iterations/sec",

@@ -369,9 +369,8 @@ class _Rank2Runner:
             n_b = max(_MIN_BUCKET, _next_pow2(len(subset)))
             if self._A_ext is not None and n_b < self.n:
                 bucket = n_b
-                idx = np.full(n_b, self.n, dtype=np.int32)
-                idx[: len(subset)] = subset
-                cols = jnp.take(self._A_ext, jnp.asarray(idx), axis=1)
+                cols = jnp.take(self._A_ext, self._padded_idx(subset, n_b),
+                                axis=1)
                 a_op = DenseAOp(cols)
             else:
                 mask = np.zeros(self.n, dtype=self.dtype)
@@ -536,9 +535,18 @@ def _load_hier_checkpoint(path, node_count):
     for idx in range(node_count):
         if f"Wbuf_{idx}" in arrs:
             W_buffer[idx] = arrs[f"Wbuf_{idx}"]
-            L_buffer[idx] = arrs[f"Lbuf_{idx}"]
+            if f"Lbuf_{idx}" in arrs:
+                L_buffer[idx] = arrs[f"Lbuf_{idx}"]
+            else:
+                # pre-labels checkpoint format stored the full H slab;
+                # the split mask is H(0,:) > H(1,:) (tree.hpp:256)
+                Hb = arrs[f"Hbuf_{idx}"]
+                L_buffer[idx] = Hb[0, :] > Hb[1, :]
     rng_state = pickle.loads(bytes(arrs["rng_state"]))
-    root = (arrs.get("root_W"), arrs.get("root_left"))
+    root_left = arrs.get("root_left")
+    if root_left is None and "root_H" in arrs:
+        root_left = arrs["root_H"][0, :] > arrs["root_H"][1, :]
+    root = (arrs.get("root_W"), root_left)
     return (tree, W_buffer, L_buffer, rng_state, int(arrs["i_next"]),
             int(arrs["nmf_count"]), int(arrs["max_count"]), root)
 

@@ -102,8 +102,12 @@ def preprocess_tf(
         row_keep = np.asarray(row_keep, bool)
         col_keep = np.asarray(col_keep, bool)
         shape = (int(row_keep.sum()), int(col_keep.sum()))
+        # csc_matrix((data, indices, indptr)) does not copy the index
+        # arrays; give each matrix its own so an in-place structural edit
+        # of one (sort_indices / sum_duplicates) cannot corrupt the other
+        # (the Python fallback copies likewise, _finish_tfidf)
         tf_m = sp.csc_matrix((tf.astype(np.int64), ix, ip), shape=shape)
-        sc_m = sp.csc_matrix((scores, ix, ip), shape=shape)
+        sc_m = sp.csc_matrix((scores, ix.copy(), ip.copy()), shape=shape)
         if verbose:
             print(f"\t[native] height: {shape[0]}, width: {shape[1]}, "
                   f"nonzeros: {sc_m.nnz}")

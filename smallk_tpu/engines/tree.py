@@ -180,7 +180,9 @@ class Tree:
                 jnp.argsort(-stacked, axis=1, stable=True)[:, :max_terms]
             )
             for q, node in enumerate(dev):
-                node.term_indices = order[q].astype(np.int64)
+                # int32, matching host top_terms (assignments.py) so the
+                # dtype does not depend on which path built the node
+                node.term_indices = order[q].astype(np.int32)
         for node in self.nodes:
             if (node.is_valid and node.topic_vector is not None
                     and isinstance(node.topic_vector, np.ndarray)):

@@ -417,9 +417,15 @@ def nnls_blockpivot(LHS, RHS, Xinit):
 
     def body_reduced(carry):
         """Width-reduced pivot round: gather up to NB non-optimal columns,
-        run their pivot step, scatter back.  Exact per-column semantics —
-        unselected non-optimal columns are untouched (state machines are
-        column-local) and get picked up in later rounds."""
+        run their pivot step, scatter back.  Per-column semantics —
+        unselected non-optimal columns are untouched (the pivot state
+        machines and the per-entry dy tolerances are column-local) and
+        get picked up in later rounds.  The only cross-column coupling is
+        the dx infeasibility floor (a global max over X, matching the
+        full-width body's deltas(X)); columns whose entries sit exactly
+        at that noise floor may pivot one round earlier/later than under
+        full-width scheduling, which alters nothing above the f32 noise
+        scale."""
         X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
         bad = not_good > 0
         ids = jnp.argsort(~bad, stable=True)[:NB]  # bad columns first
@@ -439,7 +445,14 @@ def nnls_blockpivot(LHS, RHS, Xinit):
         Xs = jnp.where(sel[None, :], Xs, X[:, ids])
         Ys = jnp.where(sel[None, :], Ys, Y[:, ids])
 
-        dx = 512.0 * eps * jnp.maximum(1.0, jnp.max(jnp.abs(Xs)))
+        # scatter X first: the infeasibility tolerance dx must be the max
+        # over the FULL updated X, exactly as the full-width body's
+        # deltas(X) — a slab-local max would make a column's pivot
+        # sequence depend on which columns shared its slab, breaking the
+        # "same per-column pivot sequence under either scheduling"
+        # guarantee at the tolerance margin
+        X = X.at[:, ids].set(Xs)
+        dx = 512.0 * eps * jnp.maximum(1.0, jnp.max(jnp.abs(X)))
         dy_s = 16.0 * eps * (
             gemm(abs_lhs, jnp.abs(Xs)) + jnp.abs(RHS_s)
         )
@@ -453,8 +466,7 @@ def nnls_blockpivot(LHS, RHS, Xinit):
             jnp.sum(nonopt_s, axis=0) + jnp.sum(infeas_s, axis=0)
         ).astype(jnp.int32)
 
-        # scatter the selected columns' new state back (ids are unique)
-        X = X.at[:, ids].set(Xs)
+        # scatter the remaining selected-column state (ids are unique)
         Y = Y.at[:, ids].set(Ys)
         passive = passive.at[:, ids].set(passive_s)
         P = P.at[ids].set(jnp.where(sel, P_s, P[ids]))

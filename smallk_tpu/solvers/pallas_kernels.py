@@ -41,9 +41,13 @@ _ROW_CHUNK = 32  # rows of M updated per in-place store (bounds temps)
 def _pick_tile(k: int, n: int) -> int:
     """Largest power-of-2 tile whose scratch + temps fit the VMEM budget.
 
-    Mosaic requires the lane (minor) block dim to be a multiple of 128.
+    Mosaic requires the lane (minor) block dim to be a multiple of 128,
+    so the result is always one of {512, 256, 128} and callers pad n up
+    to a tile multiple (starting from n instead would produce illegal
+    non-128-multiple tiles whenever 128 < n < 512 — e.g. n=200 under a
+    tight budget halved to 100 and failed Mosaic compilation).
     """
-    tile = min(_TILE, max(128, n))
+    tile = _TILE
     # scratch M (k, k, T) + row-chunk temp + ~6 live (k, T) temps
     while tile > 128 and (
         (k * k + _ROW_CHUNK * k + 8 * k) * tile * 4 > _VMEM_BUDGET
@@ -129,7 +133,7 @@ def masked_gj_solve_pallas(LHS, RHS, passive, interpret: bool = False):
     """
     k, n = RHS.shape
     dtype = LHS.dtype
-    tile = min(_pick_tile(k, n), n)
+    tile = _pick_tile(k, n)
     if n % tile != 0:
         pad = tile - n % tile
         RHS = jnp.pad(RHS, ((0, 0), (0, pad)))

@@ -223,6 +223,39 @@ class TestHierCheckpoint:
                                       ref_tree.assignments)
         assert stats.nmf_count == ref_stats.nmf_count
 
+    def test_resume_from_pre_labels_checkpoint(self, tmp_path):
+        """Checkpoints written before the device-resident refactor stored
+        full H slabs (Hbuf_*/root_H); loading converts them to split
+        masks via H(0,:) > H(1,:)."""
+        A, _ = _planted_matrix(k=5, n=100)
+        opts = _clust_opts(5)
+
+        ref_tree, _ = clust_hier(A, opts, Random(13))
+
+        ck = str(tmp_path / "hier.npz")
+        with pytest.raises(KeyboardInterrupt):
+            clust_hier(A, opts, Random(13), checkpoint_path=ck,
+                       _interrupt_after=2)
+
+        # rewrite the checkpoint into the legacy format: each Lbuf_<i>
+        # bool mask becomes an Hbuf_<i> slab whose row-0 > row-1 iff left
+        with np.load(ck, allow_pickle=False) as z:
+            arrs = {k: z[k] for k in z.files}
+        legacy = {}
+        for key, val in arrs.items():
+            if key.startswith("Lbuf_"):
+                left = np.asarray(val, bool)
+                H = np.stack([left.astype(np.float64),
+                              1.0 - left.astype(np.float64)])
+                legacy["Hbuf_" + key[len("Lbuf_"):]] = H
+            else:
+                legacy[key] = val
+        np.savez(ck, **legacy)
+
+        tree, _ = clust_hier(A, opts, Random(999), checkpoint_path=ck)
+        np.testing.assert_array_equal(tree.assignments,
+                                      ref_tree.assignments)
+
     def test_checkpoint_written_and_final(self, tmp_path):
         A, _ = _planted_matrix(k=3)
         opts = _clust_opts(3)
