@@ -189,3 +189,6 @@ class ClustStats:
 
     nmf_count: int = 0  # number of rank-2 factorizations performed
     max_count: int = 0  # factorizations that hit the iteration limit
+    iter_count: int = 0  # total rank-2 iterations across factorizations
+    # (beyond the reference's ClustStats: supports iterations/sec
+    # reporting for the hierclust benchmarks)

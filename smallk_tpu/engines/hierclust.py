@@ -255,6 +255,7 @@ class _Rank2Runner:
     def _record(self, success, iterations):
         if success:
             self.stats.nmf_count += 1
+            self.stats.iter_count += int(iterations)
             if iterations >= self.opts.nmf_opts.max_iter:
                 self.stats.max_count += 1
         return success
@@ -501,6 +502,7 @@ def _save_hier_checkpoint(path, tree, W_buffer, L_buffer, rng, stats,
     payload["i_next"] = np.int64(i_next)
     payload["nmf_count"] = np.int64(stats.nmf_count)
     payload["max_count"] = np.int64(stats.max_count)
+    payload["iter_count"] = np.int64(stats.iter_count)
     payload["rng_state"] = np.frombuffer(
         pickle.dumps(rng.get_state()), dtype=np.uint8
     )
@@ -548,7 +550,8 @@ def _load_hier_checkpoint(path, node_count):
         root_left = arrs["root_H"][0, :] > arrs["root_H"][1, :]
     root = (arrs.get("root_W"), root_left)
     return (tree, W_buffer, L_buffer, rng_state, int(arrs["i_next"]),
-            int(arrs["nmf_count"]), int(arrs["max_count"]), root)
+            int(arrs["nmf_count"]), int(arrs["max_count"]),
+            int(arrs.get("iter_count", 0)), root)
 
 
 def clust_hier(A, opts: ClustOptions, rng: Random,
@@ -597,9 +600,8 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     start_i = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
         (tree, W_buffer, L_buffer, rng_state, start_i,
-         stats.nmf_count, stats.max_count, root) = _load_hier_checkpoint(
-            checkpoint_path, node_count
-        )
+         stats.nmf_count, stats.max_count, stats.iter_count,
+         root) = _load_hier_checkpoint(checkpoint_path, node_count)
         rng.set_state(rng_state)
         if start_i == 0:
             W, left = root
