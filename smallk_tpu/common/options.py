@@ -164,7 +164,9 @@ class ClustOptions:
     def validate(self) -> None:
         """Mirrors reference ClustOptions::IsValid (hierclust/src/clust_options.cpp)."""
         if self.init_method not in ("spectral", "random"):
-            raise ValueError("clust: init_method must be 'spectral' or 'random'")
+            raise ValueError(
+                "clust: init_method must be 'spectral' or 'random'"
+            )
         if self.num_clusters < 2:
             raise ValueError("clust: number of clusters must be >= 2")
         if self.maxterms < 1:

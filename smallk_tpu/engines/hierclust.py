@@ -113,16 +113,23 @@ class _NodeSolve(NamedTuple):
     ok: bool
 
 
-def _solve_and_pack(op, valid, W0, H0, w_parent, opts, spectral):
-    """Shared fused-program tail: (optional spectral start) + solve loop +
-    split labels + NDCG priority, packed for ONE small d2h fetch.
+def _solve_and_pack(op, valid, W0, H0, w_parent, opts, init):
+    """Shared fused-program tail: (optional spectral/parent start) +
+    solve loop + split labels + NDCG priority, packed for ONE small d2h
+    fetch.
 
     Packed layout: [success, iterations, priority, left_0..left_{nb-1}].
     """
     from ..solvers.rank2 import spectral_init_rank2
 
     pg0 = None
-    if spectral:
+    # (a "parent" warm start — both W0 columns near the parent topic
+    # vector — was measured and MAKES ITERATION COUNTS WORSE: the true
+    # solution is parent +- the split direction, so a parent-cone start
+    # is near-collinear and ill-conditions W'W.  The principled version
+    # of that idea is exactly the spectral option below, which finds the
+    # split direction as the second singular vector.)
+    if init == "spectral":
         # tolerance stays anchored to the random-start PG_1 scale; a
         # degenerate spectral pair falls back to the random start
         pg0 = reference_pg1(op, W0, H0, opts)
@@ -150,7 +157,7 @@ def _solve_and_pack(op, valid, W0, H0, w_parent, opts, spectral):
     return res.W, res.H, packed
 
 
-def _gather_body(A_ext, idx, key, w_parent, n_full, opts, spectral, fdtype):
+def _gather_body(A_ext, idx, key, w_parent, n_full, opts, init, fdtype):
     m = A_ext.shape[0]
     cols = jnp.take(A_ext, idx, axis=1)  # pad idx == n_full -> zero column
     op = DenseAOp(cols)
@@ -162,32 +169,32 @@ def _gather_body(A_ext, idx, key, w_parent, n_full, opts, spectral, fdtype):
     # makes sharded-mesh trees equal single-device trees)
     Hf = jax.random.uniform(kH, (2, n_full), fdtype)
     H0 = jnp.take(Hf, idx, axis=1, mode="fill", fill_value=0)
-    return _solve_and_pack(op, valid, W0, H0, w_parent, opts, spectral)
+    return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_full", "opts", "spectral", "fdtype")
+    jax.jit, static_argnames=("n_full", "opts", "init", "fdtype")
 )
-def _fused_gather_solve(A_ext, idx, key, w_parent, n_full, opts, spectral,
+def _fused_gather_solve(A_ext, idx, key, w_parent, n_full, opts, init,
                         fdtype):
-    return _gather_body(A_ext, idx, key, w_parent, n_full, opts, spectral,
+    return _gather_body(A_ext, idx, key, w_parent, n_full, opts, init,
                         fdtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_full", "opts", "spectral", "fdtype")
+    jax.jit, static_argnames=("n_full", "opts", "init", "fdtype")
 )
 def _fused_gather_pair(A_ext, idx2, keys2, w_parents2, n_full, opts,
-                       spectral, fdtype):
+                       init, fdtype):
     return jax.vmap(
         lambda idx, key, wp: _gather_body(
-            A_ext, idx, key, wp, n_full, opts, spectral, fdtype
+            A_ext, idx, key, wp, n_full, opts, init, fdtype
         )
     )(idx2, keys2, w_parents2)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "spectral", "fdtype"))
-def _fused_masked_solve(a_op, idx, key, w_parent, opts, spectral, fdtype):
+@functools.partial(jax.jit, static_argnames=("opts", "init", "fdtype"))
+def _fused_masked_solve(a_op, idx, key, w_parent, opts, init, fdtype):
     """Full-shape node solve: idx scatters a column mask (None == full A).
     Used for the root, wide subsets, sparse operands, and mesh runs (the
     mask's sharding follows A's via GSPMD, SURVEY §5.8)."""
@@ -202,7 +209,7 @@ def _fused_masked_solve(a_op, idx, key, w_parent, opts, spectral, fdtype):
     kW, kH = jax.random.split(key)
     W0 = jax.random.uniform(kW, (m, 2), fdtype)
     H0 = jax.random.uniform(kH, (2, n), fdtype)
-    return _solve_and_pack(op, valid, W0, H0, w_parent, opts, spectral)
+    return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
 
 
 class _Rank2Runner:
@@ -229,7 +236,7 @@ class _Rank2Runner:
         self.stats = stats
         self.dtype = dtype
         self.mesh = mesh
-        self.spectral = opts.init_method == "spectral"
+        self.init = opts.init_method
         m, n = a_op.shape
         self.m, self.n = m, n
         self._A_ext = None  # dense A with one trailing zero column
@@ -291,7 +298,7 @@ class _Rank2Runner:
 
         W_, H_, packed = _fused_gather_pair(
             self._A_ext, jnp.asarray(idx), keys, wps,
-            n_full=self.n, opts=nmf_opts, spectral=self.spectral,
+            n_full=self.n, opts=nmf_opts, init=self.init,
             fdtype=self.dtype,
         )
         ph = np.asarray(packed)  # one fetch: (2, 3 + n_b)
@@ -322,14 +329,14 @@ class _Rank2Runner:
         wp = self._wp(w_parent)
         for attempt in range(max_attempts):
             key = self.inits.next_key()
-            # spectral start on the first attempt only: a retry means the
-            # spectral basin failed and the reference's random restart is
-            # the escape hatch
-            spectral = self.spectral and attempt == 0
+            # spectral/parent start on the first attempt only: a retry
+            # means that basin failed and the reference's random restart
+            # is the escape hatch
+            init = self.init if attempt == 0 else "random"
             if subset is None:
                 W_, H_, packed = _fused_masked_solve(
                     self.a_op, None, key, wp,
-                    opts=nmf_opts, spectral=spectral, fdtype=self.dtype,
+                    opts=nmf_opts, init=init, fdtype=self.dtype,
                 )
                 sel = slice(None)
             else:
@@ -337,7 +344,7 @@ class _Rank2Runner:
                 if self._A_ext is not None and n_b < self.n:
                     W_, H_, packed = _fused_gather_solve(
                         self._A_ext, self._padded_idx(subset, n_b), key, wp,
-                        n_full=self.n, opts=nmf_opts, spectral=spectral,
+                        n_full=self.n, opts=nmf_opts, init=init,
                         fdtype=self.dtype,
                     )
                     sel = slice(0, len(subset))
@@ -347,7 +354,7 @@ class _Rank2Runner:
                     # recompile) the whole fused solve program
                     W_, H_, packed = _fused_masked_solve(
                         self.a_op, self._padded_idx(subset, n_b), key, wp,
-                        opts=nmf_opts, spectral=spectral, fdtype=self.dtype,
+                        opts=nmf_opts, init=init, fdtype=self.dtype,
                     )
                     sel = np.asarray(subset)
             ph = np.asarray(packed)
