@@ -1,0 +1,149 @@
+"""One-process TPU smoke/validation suite for smallk-tpu.
+
+Runs the flows CPU tests cannot cover (Pallas kernels, f32 convergence,
+the device-resident hierclust loop) against the real chip, serialized in
+ONE process (first d2h through the tunnel costs 45-650 s per process —
+never split TPU checks across processes).
+
+Usage:
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_smoke.py
+
+Pass criteria are printed per section; any FAIL line or traceback means
+the change under test broke a TPU-only path that the CPU suite missed.
+"""
+import time
+import traceback
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+t0 = time.time()
+jax.device_get(jnp.zeros((1,)))
+print(f"[warmup] {time.time()-t0:.0f}s", flush=True)
+
+FAILURES = []
+
+
+def section(name, fn):
+    print(f"== {name} ==", flush=True)
+    try:
+        fn()
+    except Exception:
+        traceback.print_exc()
+        FAILURES.append(name)
+        print(f"FAIL {name}", flush=True)
+
+
+def bpp_convergence():
+    """BPP at the reference default tolerance across ranks: must converge
+    with zero negative entries (exercises the Pallas masked-GJ kernel at
+    every rank plus the width-reduced pivot rounds at k>=48)."""
+    from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
+    from smallk_tpu.common.rng import Random, random_matrix
+    from smallk_tpu.engines.matrixgen import random_sparse_matrix
+    from smallk_tpu.ops.aop import as_aop
+    from smallk_tpu.solvers.solve import nmf_solve
+
+    m, n = 12411, 7984
+    A = random_sparse_matrix(Random(2024), m, n, nz_per_col=80,
+                             dtype=np.float32)
+    a_op = as_aop(A, dtype=jnp.bfloat16)
+    for k in (8, 32, 128):
+        rng = Random(50 + k)
+        W0 = jnp.asarray(random_matrix(m, k, rng, dtype=np.float32))
+        H0 = jnp.asarray(random_matrix(k, n, rng, dtype=np.float32))
+        opts = NmfOptions(tol=0.005, algorithm=NmfAlgorithm.BPP,
+                          height=m, width=n, k=k, min_iter=5,
+                          max_iter=2000, verbose=False,
+                          a_dtype="bfloat16")
+        r = nmf_solve(a_op, W0, H0, opts)
+        r.W.block_until_ready()
+        neg = int(jnp.sum(r.W < 0)) + int(jnp.sum(r.H < 0))
+        ok = bool(r.success) and bool(r.converged) and neg == 0
+        print(f"  k={k}: success={bool(r.success)} "
+              f"converged={bool(r.converged)} iters={int(r.iterations)} "
+              f"neg={neg}", flush=True)
+        assert ok, f"BPP k={k} failed on TPU"
+
+
+def pallas_kernel_widths():
+    """Masked-GJ kernel vs the XLA formulation at awkward widths
+    (lane-constraint regressions only surface on real Mosaic)."""
+    import smallk_tpu.solvers.nnls as nn
+    from smallk_tpu.solvers.pallas_kernels import masked_gj_solve_pallas
+
+    rng = np.random.RandomState(0)
+    for k, n in [(128, 200), (8, 130), (64, 999), (48, 7984)]:
+        B = rng.rand(k, 2 * k).astype(np.float32)
+        LHS = jnp.asarray(B @ B.T + 0.1 * np.eye(k), jnp.float32)
+        RHS = jnp.asarray((B @ rng.rand(2 * k, n)).astype(np.float32))
+        passive = jnp.asarray(rng.rand(k, n) > 0.6)
+        X = masked_gj_solve_pallas(LHS, RHS, passive)
+        ref = (nn._gj_solve_block if k <= 64 else nn._chol_solve_block)(
+            LHS, RHS, passive
+        )
+        d = float(jnp.max(jnp.abs(X - ref)))
+        print(f"  k={k} n={n}: maxdiff {d:.2e}", flush=True)
+        assert d < 1e-4, f"kernel mismatch at k={k} n={n}"
+
+
+def hierclust_device_loop():
+    """Device-resident hierclust on dense (gather path) and sparse
+    (masked path) operands; wall clock printed for trend-watching."""
+    from smallk_tpu.common.options import (
+        ClustOptions, NmfAlgorithm, NmfOptions, NmfProgressAlgorithm,
+    )
+    from smallk_tpu.common.rng import Random
+    from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+    from smallk_tpu.engines.scoring import score_clustering
+
+    from smallk_tpu.engines.hierclust import clust_hier
+
+    nmf_opts = NmfOptions(
+        tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+        prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+        min_iter=1, max_iter=5000, verbose=False, dtype="float32",
+        a_dtype="bfloat16", stall_patience=100,
+    )
+    A, _ = synthetic_term_doc_corpus(12411, 7984, 16, seed=11)
+    copts = ClustOptions(nmf_opts=nmf_opts, num_clusters=12, verbose=False)
+    clust_hier(A, copts, Random(1))
+    t1 = time.perf_counter()
+    tree, st = clust_hier(A, copts, Random(2))
+    dt = time.perf_counter() - t1
+    leaves = sum(1 for leaf in tree.is_leaf if leaf)
+    print(f"  dense 12c: {dt:.2f}s, {st.nmf_count} solves, "
+          f"{st.iter_count} iters, {leaves} leaves", flush=True)
+    assert leaves == 12
+
+    # sparse operand + quality: planted graph must recover communities
+    import scipy.sparse as sp
+
+    nodes, kc = 1500, 10
+    g_rng = np.random.RandomState(7)
+    labels = g_rng.randint(0, kc, nodes)
+    rows, cols = [], []
+    for c in range(kc):
+        mem = np.where(labels == c)[0]
+        deg = 20 * len(mem)
+        rows.append(g_rng.choice(mem, deg))
+        cols.append(g_rng.choice(mem, deg))
+    rows.append(g_rng.randint(0, nodes, 2 * nodes))
+    cols.append(g_rng.randint(0, nodes, 2 * nodes))
+    r_, c_ = np.concatenate(rows), np.concatenate(cols)
+    G = sp.csc_matrix((np.ones(len(r_), np.float32), (r_, c_)),
+                      shape=(nodes, nodes))
+    G = ((G + G.T) > 0).astype(np.float32)
+    gopts = ClustOptions(nmf_opts=nmf_opts, num_clusters=kc, verbose=False)
+    gtree, _ = clust_hier(G, gopts, Random(3))
+    nmi = score_clustering(gtree.assignments, labels)["nmi"]
+    print(f"  sparse planted-graph NMI: {nmi:.3f}", flush=True)
+    assert nmi > 0.6, "community recovery regressed"
+
+
+section("BPP convergence across ranks", bpp_convergence)
+section("Pallas masked-GJ at awkward widths", pallas_kernel_widths)
+section("device-resident hierclust", hierclust_device_loop)
+print(f"[done] failures: {FAILURES or 'none'}", flush=True)
+raise SystemExit(1 if FAILURES else 0)
