@@ -142,8 +142,62 @@ def hierclust_device_loop():
     assert nmi > 0.6, "community recovery regressed"
 
 
+def other_algorithms():
+    """MU / HALS / RANK2 f32 convergence plus flatclust end-to-end
+    (direct and hier-refined) — the non-BPP solver families on real
+    hardware."""
+    from smallk_tpu.common.options import (
+        NmfAlgorithm, NmfOptions, NmfProgressAlgorithm,
+    )
+    from smallk_tpu.common.rng import Random, random_matrix
+    from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+    from smallk_tpu.engines.flatclust import run_flatclust
+    from smallk_tpu.ops.aop import as_aop
+    from smallk_tpu.solvers.solve import nmf_solve
+
+    m, n, k = 800, 600, 8
+    rng = Random(5)
+    A = np.abs(np.random.RandomState(1).rand(m, n)).astype(np.float32)
+    a_op = as_aop(A)
+    for alg in ("MU", "HALS", "RANK2"):
+        kk = 2 if alg == "RANK2" else k
+        W0 = jnp.asarray(random_matrix(m, kk, rng, dtype=np.float32))
+        H0 = jnp.asarray(random_matrix(kk, n, rng, dtype=np.float32))
+        opts = NmfOptions(
+            tol=0.005, algorithm=getattr(NmfAlgorithm, alg),
+            prog_est_algorithm=(NmfProgressAlgorithm.DELTA_FNORM
+                                if alg == "MU"
+                                else NmfProgressAlgorithm.PG_RATIO),
+            height=m, width=n, k=kk, min_iter=5, max_iter=5000,
+            verbose=False, stall_patience=200,
+        )
+        r = nmf_solve(a_op, W0, H0, opts)
+        r.W.block_until_ready()
+        rel = float(np.linalg.norm(A - np.asarray(r.W) @ np.asarray(r.H))
+                    / np.linalg.norm(A))
+        print(f"  {alg}: success={bool(r.success)} "
+              f"iters={int(r.iterations)} relerr={rel:.3f}", flush=True)
+        assert bool(r.success) and rel < 0.9
+
+    Ac, _labels = synthetic_term_doc_corpus(2000, 1200, 6, seed=3)
+    fopts = NmfOptions(
+        tol=1e-4, algorithm=NmfAlgorithm.HALS,
+        prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO,
+        height=2000, width=1200, k=6, min_iter=1, max_iter=3000,
+        verbose=False, dtype="float32", stall_patience=100,
+    )
+    frng = Random(4)
+    W0 = random_matrix(2000, 6, frng, dtype=np.float32)
+    H0 = random_matrix(6, 1200, frng, dtype=np.float32)
+    Wf, Hf, assign, fuzzy, ok = run_flatclust(Ac, W0, H0, fopts)
+    assert ok and assign.shape == (1200,) and fuzzy.shape == (6, 1200)
+    print(f"  flatclust HALS: {len(np.unique(assign))} clusters used",
+          flush=True)
+
+
 section("BPP convergence across ranks", bpp_convergence)
 section("Pallas masked-GJ at awkward widths", pallas_kernel_widths)
 section("device-resident hierclust", hierclust_device_loop)
+section("MU/HALS/RANK2 + flatclust", other_algorithms)
 print(f"[done] failures: {FAILURES or 'none'}", flush=True)
 raise SystemExit(1 if FAILURES else 0)
