@@ -57,9 +57,12 @@ def bench_all():
     )
     clust_hier(A, copts, Random(1))  # compile
     dt = float("inf")
-    for seed in (2, 3):  # best-of-2: tunnel-device variance is +-40%
+    # best-of-2 over the SAME seed (identical workload — damps the
+    # +-40% tunnel-device variance without cherry-picking an easier
+    # problem instance)
+    for _rep in range(2):
         t0 = time.perf_counter()
-        _, stats = clust_hier(A, copts, Random(seed))
+        _, _ = clust_hier(A, copts, Random(2))
         dt = min(dt, time.perf_counter() - t0)
     out.append({
         "metric": "hierclust_12_clusters_reuters_shape_wall_s",
@@ -76,9 +79,9 @@ def bench_all():
     )
     clust_hier(A2, copts2, Random(1))  # compile
     dt2 = float("inf")
-    for seed in (2, 3):
+    for _rep in range(2):  # same-seed best-of-2 (see above)
         t0 = time.perf_counter()
-        _, stats2 = clust_hier(A2, copts2, Random(seed))
+        _, _ = clust_hier(A2, copts2, Random(2))
         dt2 = min(dt2, time.perf_counter() - t0)
     out.append({
         "metric": "hierclust_15_clusters_20news_shape_wall_s",
@@ -145,28 +148,13 @@ def bench_all():
     # hierclust on a planted-partition graph scored by NMI against ground
     # truth.  vs_baseline is the NMI itself (target: ~1.0 at this
     # signal-to-noise; the reference publishes no number to compare).
+    from smallk_tpu.engines.corpus import planted_partition_graph
     from smallk_tpu.engines.scoring import score_clustering
 
     nodes, kc = 3000, 20
-    g_rng = np.random.RandomState(7)
-    labels_true = g_rng.randint(0, kc, nodes)
-    import scipy.sparse as sp2
-
-    rows, cols = [], []
     # sparse planted partition: ~20 intra + ~2 inter edges per node
-    for c in range(kc):
-        members = np.where(labels_true == c)[0]
-        deg = 20 * len(members)
-        rows.append(g_rng.choice(members, deg))
-        cols.append(g_rng.choice(members, deg))
-    rows.append(g_rng.randint(0, nodes, 2 * nodes))
-    cols.append(g_rng.randint(0, nodes, 2 * nodes))
-    r = np.concatenate(rows)
-    c = np.concatenate(cols)
-    G = sp2.csc_matrix(
-        (np.ones(len(r), np.float32), (r, c)), shape=(nodes, nodes)
-    )
-    G = ((G + G.T) > 0).astype(np.float32)
+    # (same generator as scripts/tpu_smoke.py's pass threshold)
+    G, labels_true = planted_partition_graph(nodes, kc, seed=7)
     gopts = ClustOptions(
         nmf_opts=NmfOptions(
             tol=1e-4, algorithm=NmfAlgorithm.RANK2,

@@ -3,7 +3,6 @@ hierclust to 100 leaves" regime) + aggregate rank-2 iterations/sec."""
 import time
 import traceback
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ def main():
     from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
     from smallk_tpu.common.rng import Random, random_matrix
     from smallk_tpu.engines.matrixgen import random_sparse_matrix
-    from smallk_tpu.ops.dense import gemm, gram, gram_t
+    from smallk_tpu.ops.dense import gram, gram_t
     from smallk_tpu.ops.ell import EllAOp
     from smallk_tpu.solvers.nnls import nnls_blockpivot
     from smallk_tpu.solvers.solve import nmf_solve

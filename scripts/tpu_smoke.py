@@ -118,23 +118,11 @@ def hierclust_device_loop():
     assert leaves == 12
 
     # sparse operand + quality: planted graph must recover communities
-    import scipy.sparse as sp
+    # (same generator family as bench.py's NMI metric)
+    from smallk_tpu.engines.corpus import planted_partition_graph
 
     nodes, kc = 1500, 10
-    g_rng = np.random.RandomState(7)
-    labels = g_rng.randint(0, kc, nodes)
-    rows, cols = [], []
-    for c in range(kc):
-        mem = np.where(labels == c)[0]
-        deg = 20 * len(mem)
-        rows.append(g_rng.choice(mem, deg))
-        cols.append(g_rng.choice(mem, deg))
-    rows.append(g_rng.randint(0, nodes, 2 * nodes))
-    cols.append(g_rng.randint(0, nodes, 2 * nodes))
-    r_, c_ = np.concatenate(rows), np.concatenate(cols)
-    G = sp.csc_matrix((np.ones(len(r_), np.float32), (r_, c_)),
-                      shape=(nodes, nodes))
-    G = ((G + G.T) > 0).astype(np.float32)
+    G, labels = planted_partition_graph(nodes, kc, seed=7)
     gopts = ClustOptions(nmf_opts=nmf_opts, num_clusters=kc, verbose=False)
     gtree, _ = clust_hier(G, gopts, Random(3))
     nmi = score_clustering(gtree.assignments, labels)["nmi"]

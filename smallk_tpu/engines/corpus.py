@@ -126,3 +126,42 @@ def synthetic_term_doc_corpus(
     norms[norms == 0.0] = 1.0
     A = A @ sp.diags(1.0 / norms)
     return A.astype(dtype).tocsc(), labels
+
+
+def planted_partition_graph(
+    nodes: int,
+    n_communities: int,
+    intra_edges_per_node: int = 20,
+    inter_edges_per_node: int = 2,
+    seed: int = 7,
+):
+    """Generate (adjacency, labels): a symmetric 0/1 planted-partition
+    graph — the dblp15-style community-recovery workload (BASELINE
+    config 3; the reference treats graph clustering as hierclust on a
+    generic sparse matrix, README.md:9-27).
+
+    Each node draws ~intra_edges_per_node endpoints inside its community
+    and the whole graph adds inter_edges_per_node*nodes random noise
+    edges; the result is symmetrized and binarized.  Used by both
+    bench.py (NMI metric) and scripts/tpu_smoke.py (pass threshold) so
+    the two always measure the same graph family.
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, n_communities, nodes)
+    rows, cols = [], []
+    for c in range(n_communities):
+        members = np.where(labels == c)[0]
+        deg = intra_edges_per_node * len(members)
+        rows.append(rng.choice(members, deg))
+        cols.append(rng.choice(members, deg))
+    rows.append(rng.randint(0, nodes, inter_edges_per_node * nodes))
+    cols.append(rng.randint(0, nodes, inter_edges_per_node * nodes))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    A = sp.csc_matrix(
+        (np.ones(len(r), np.float32), (r, c)), shape=(nodes, nodes)
+    )
+    A = ((A + A.T) > 0).astype(np.float32)
+    return A.tocsc(), labels
