@@ -37,7 +37,7 @@ from ..io.delimited import load_delimited
 from ..ops.aop import DenseAOp, MaskedAOp, as_aop
 from ..solvers.solve import _nmf_solve_impl, nmf_solve, reference_pg1
 from .priority import compute_priority, compute_priority_device
-from .tree import Tree
+from .tree import DeviceColumn, Tree
 
 
 class _InitializerSource:
@@ -80,9 +80,13 @@ class _InitializerSource:
         H = random_matrix(2, self.n, self.rng, dtype=self.dtype)
         return W, H
 
-    def next_key(self):
-        """Device PRNG key for one factorization (advances the stream)."""
-        return jax.random.PRNGKey(self.rng.device_key_seed())
+    def next_seed(self):
+        """31-bit device-PRNG seed for one factorization (advances the
+        stream).  The fused node program builds the threefry key from
+        this scalar on device — shipping the raw int avoids the 2-3
+        host-side device ops (key build + stack) per node that a
+        PRNGKey argument would cost through a high-latency link."""
+        return self.rng.device_key_seed()
 
 
 def _next_pow2(x: int) -> int:
@@ -98,6 +102,13 @@ _MIN_BUCKET = 512
 # (thin widths underutilize the chip) — the vmapped pair runs
 # 2 x max(sibling iterations).  Module knob for benchmarking.
 PAIR_BATCHING = True
+
+# Speculative dispatch of the predicted next pop's pair solve (hides its
+# device execution inside the current split's result-fetch round trip;
+# measured 90-100% pop predictability, scripts/spec_hitrate.py).  Bit-
+# identical to the sequential schedule by construction — see the
+# speculation block in _Rank2Runner.  Module knob for benchmarking.
+SPECULATE = True
 
 
 class _NodeSolve(NamedTuple):
@@ -146,23 +157,41 @@ def _solve_and_pack(op, valid, W0, H0, w_parent, opts, init):
     has1 = jnp.any((~left) & valid)
     pr = compute_priority_device(w_parent, res.W)
     pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
+    # split labels ride the packed fetch as BITS (32 cols per f32 lane,
+    # bitcast) — at bucket width 8192 that is a 1 KB fetch instead of
+    # 32 KB, which matters at ~12 MB/s host<->device bandwidth
+    pad = (-left.shape[0]) % 32
+    lp = jnp.pad(left, (0, pad)) if pad else left
+    bits = jnp.sum(
+        lp.reshape(-1, 32).astype(jnp.uint32)
+        << jnp.arange(32, dtype=jnp.uint32)[None, :],
+        axis=1, dtype=jnp.uint32,
+    )
     packed = jnp.concatenate([
         jnp.stack([
             res.success.astype(jnp.float32),
             res.iterations.astype(jnp.float32),
             pr.astype(jnp.float32),
         ]),
-        left.astype(jnp.float32),
+        jax.lax.bitcast_convert_type(bits, jnp.float32),
     ])
     return res.W, res.H, packed
 
 
-def _gather_body(A_ext, idx, key, w_parent, n_full, opts, init, fdtype):
+def _unpack_left(ph_row: np.ndarray, count: int) -> np.ndarray:
+    """Host-side inverse of the bit-packing in _solve_and_pack: the f32
+    lanes after the 3 scalars are bitcast uint32 words, LSB-first."""
+    words = np.ascontiguousarray(ph_row[3:], dtype=np.float32)
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+    return bits[:count].astype(bool)
+
+
+def _gather_body(A_ext, idx, seed, w_parent, n_full, opts, init, fdtype):
     m = A_ext.shape[0]
     cols = jnp.take(A_ext, idx, axis=1)  # pad idx == n_full -> zero column
     op = DenseAOp(cols)
     valid = idx < n_full
-    kW, kH = jax.random.split(key)
+    kW, kH = jax.random.split(jax.random.PRNGKey(seed))
     W0 = jax.random.uniform(kW, (m, 2), fdtype)
     # H is drawn at FULL width then gathered so the gather and mask paths
     # see identical initializer values on the subset columns (this is what
@@ -175,26 +204,29 @@ def _gather_body(A_ext, idx, key, w_parent, n_full, opts, init, fdtype):
 @functools.partial(
     jax.jit, static_argnames=("n_full", "opts", "init", "fdtype")
 )
-def _fused_gather_solve(A_ext, idx, key, w_parent, n_full, opts, init,
+def _fused_gather_solve(A_ext, idx, seed, w_parent, n_full, opts, init,
                         fdtype):
-    return _gather_body(A_ext, idx, key, w_parent, n_full, opts, init,
+    return _gather_body(A_ext, idx, seed, w_parent, n_full, opts, init,
                         fdtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_full", "opts", "init", "fdtype")
 )
-def _fused_gather_pair(A_ext, idx2, keys2, w_parents2, n_full, opts,
+def _fused_gather_pair(A_ext, idx2, seeds2, W_parent, n_full, opts,
                        init, fdtype):
+    """Batched sibling solve.  `W_parent` is the parent node's (m, 2)
+    factor buffer — column i is child i's parent topic vector — passed
+    as ONE resident device array so the host never slices/stacks it."""
     return jax.vmap(
-        lambda idx, key, wp: _gather_body(
-            A_ext, idx, key, wp, n_full, opts, init, fdtype
+        lambda idx, seed, wp: _gather_body(
+            A_ext, idx, seed, wp, n_full, opts, init, fdtype
         )
-    )(idx2, keys2, w_parents2)
+    )(idx2, seeds2, W_parent.T)
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "init", "fdtype"))
-def _fused_masked_solve(a_op, idx, key, w_parent, opts, init, fdtype):
+def _fused_masked_solve(a_op, idx, seed, w_parent, opts, init, fdtype):
     """Full-shape node solve: idx scatters a column mask (None == full A).
     Used for the root, wide subsets, sparse operands, and mesh runs (the
     mask's sharding follows A's via GSPMD, SURVEY §5.8)."""
@@ -206,7 +238,7 @@ def _fused_masked_solve(a_op, idx, key, w_parent, opts, init, fdtype):
         mask = jnp.zeros((n,), a_op.dtype).at[idx].set(1, mode="drop")
         valid = jnp.zeros((n,), jnp.bool_).at[idx].set(True, mode="drop")
         op = MaskedAOp(a_op, mask)
-    kW, kH = jax.random.split(key)
+    kW, kH = jax.random.split(jax.random.PRNGKey(seed))
     W0 = jax.random.uniform(kW, (m, 2), fdtype)
     H0 = jax.random.uniform(kH, (2, n), fdtype)
     return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
@@ -237,6 +269,7 @@ class _Rank2Runner:
         self.dtype = dtype
         self.mesh = mesh
         self.init = opts.init_method
+        self._spec = None  # (node, pre-draw rng state, in-flight pair)
         m, n = a_op.shape
         self.m, self.n = m, n
         self._A_ext = None  # dense A with one trailing zero column
@@ -252,6 +285,8 @@ class _Rank2Runner:
     def _wp(self, w_parent):
         if w_parent is None:
             return jnp.zeros((self.m,), self.dtype)
+        if isinstance(w_parent, DeviceColumn):
+            w_parent = w_parent.materialize()
         return jnp.asarray(w_parent, self.dtype)
 
     def _padded_idx(self, subset, n_b):
@@ -267,53 +302,134 @@ class _Rank2Runner:
                 self.stats.max_count += 1
         return success
 
-    def solve_pair(self, subset_l, subset_r, wp_l=None, wp_r=None):
-        """Factor the two children of a split as ONE batched fused solve.
-
-        Siblings partition the same parent and typically need similar
-        iteration counts; vmapping the (done-gated, see solvers/solve.py)
-        solve loop over the stacked pair halves dispatch count and doubles
-        chip utilization on the latency-bound thin widths.  Returns
-        [_NodeSolve, _NodeSolve] or None when ineligible (tiny subsets,
-        initdir mode — its file-consumption order is defined by the
-        sequential reference flow — or non-dense A).
-        """
+    def _pair_eligible(self, subset_l, subset_r):
+        """Bucket width for a batched sibling solve, or None when the
+        pair must run serially (tiny subsets, initdir mode — its
+        file-consumption order is defined by the sequential reference
+        flow — or non-dense A)."""
         if (not PAIR_BATCHING or self._A_ext is None or self.inits.initdir
                 or len(subset_l) <= 3 or len(subset_r) <= 3):
             return None
-        subsets = (np.asarray(subset_l), np.asarray(subset_r))
         n_b = max(
             _MIN_BUCKET,
             _next_pow2(max(len(subset_l), len(subset_r))),
         )
         if n_b >= self.n:
             return None
+        return n_b
 
-        nmf_opts = self.opts.nmf_opts
+    def _start_pair(self, subsets, n_b, W_parent):
+        """Draw two initializer seeds and dispatch the fused pair program
+        (async — nothing is fetched here).  Returns the in-flight state
+        `_finish_pair` consumes."""
         idx = np.full((2, n_b), self.n, dtype=np.int32)
         for i, s in enumerate(subsets):
             idx[i, : len(s)] = s
-        keys = jnp.stack([self.inits.next_key(), self.inits.next_key()])
-        wps = jnp.stack([self._wp(wp_l), self._wp(wp_r)])
-
+        seeds = np.array(
+            [self.inits.next_seed(), self.inits.next_seed()], np.int32
+        )
         W_, H_, packed = _fused_gather_pair(
-            self._A_ext, jnp.asarray(idx), keys, wps,
-            n_full=self.n, opts=nmf_opts, init=self.init,
+            self._A_ext, idx, seeds, jnp.asarray(W_parent, self.dtype),
+            n_full=self.n, opts=self.opts.nmf_opts, init=self.init,
             fdtype=self.dtype,
         )
-        ph = np.asarray(packed)  # one fetch: (2, 3 + n_b)
+        return (W_, H_, packed, subsets, W_parent)
 
+    def dispatch_pair(self, subset_l, subset_r, W_parent):
+        """Eligibility check + async dispatch (no fetch).  Cancels any
+        outstanding speculation first so seed order stays sequential."""
+        self._cancel_spec()
+        n_b = self._pair_eligible(subset_l, subset_r)
+        if n_b is None:
+            return None
+        return self._start_pair(
+            (np.asarray(subset_l), np.asarray(subset_r)), n_b, W_parent
+        )
+
+    def finish_pair(self, inflight):
+        """Block on the packed result of a dispatched pair and unpack it
+        into two _NodeSolves (serial retry ladder on rare failures)."""
+        W_, H_, packed, subsets, W_parent = inflight
+        ph = np.asarray(packed)  # one fetch: (2, 3 + n_b/32)
         out = []
         for i, s in enumerate(subsets):
             if self._record(ph[i, 0] > 0.5, int(ph[i, 1])):
-                left = ph[i, 3:3 + len(s)] > 0.5
+                left = _unpack_left(ph[i], len(s))
                 out.append(
                     _NodeSolve(W_[i], H_[i], left, float(ph[i, 2]), True)
                 )
             else:
                 # rare singular failure: retry ladder takes over serially
-                out.append(self.solve(s, wp_l if i == 0 else wp_r))
+                out.append(self.solve(s, W_parent[:, i]))
         return out
+
+    def solve_pair(self, subset_l, subset_r, W_parent):
+        """Factor the two children of a split as ONE batched fused solve.
+
+        Siblings partition the same parent and typically need similar
+        iteration counts; vmapping the (done-gated, see solvers/solve.py)
+        solve loop over the stacked pair halves dispatch count and doubles
+        chip utilization on the latency-bound thin widths.  `W_parent` is
+        the split node's (m, 2) factor buffer (device-resident); its
+        column i is child i's parent topic vector.  Returns
+        [_NodeSolve, _NodeSolve] or None when ineligible.
+        """
+        inflight = self.dispatch_pair(subset_l, subset_r, W_parent)
+        if inflight is None:
+            return None
+        return self.finish_pair(inflight)
+
+    # --- speculative dispatch ---------------------------------------------
+    #
+    # The tree loop's only cross-split dependency is the priority pop,
+    # and measured pop traces are 90-100% predictable from the leaves
+    # that already have final priorities (scripts/spec_hitrate.py): a
+    # freshly split pair almost never outranks the best existing leaf.
+    # So after dispatching split i's pair — before paying the ~26 ms
+    # round-trip fetch through the device link — the loop dispatches the
+    # predicted next pop's pair too, hiding its whole device execution
+    # inside the fetch latency.  Determinism is preserved exactly: the
+    # host RNG state is saved before the speculative seed draws, and any
+    # deviation from the predicted sequential flow (pop mismatch, an
+    # outlier-path serial solve, loop exit) restores it, so the seed
+    # stream any CONSUMED solve sees is identical to the unspeculated
+    # run's.  (The reference's flow is strictly sequential,
+    # clust_hier_generic.hpp:77-238; this changes the schedule, never
+    # the arithmetic.)
+
+    def speculate_pair(self, node, subset_l, subset_r, W_parent):
+        """Dispatch the pair solve for predicted pop `node` (async)."""
+        self._cancel_spec()
+        n_b = self._pair_eligible(subset_l, subset_r)
+        if n_b is None:
+            return
+        state = self.inits.rng.get_state()
+        inflight = self._start_pair(
+            (np.asarray(subset_l), np.asarray(subset_r)), n_b, W_parent
+        )
+        self._spec = (node, state, inflight)
+
+    def take_spec(self, node):
+        """In-flight pair for `node` if the speculation hit; on a miss
+        the speculative seed draws are rolled back and None returns."""
+        if self._spec is not None and self._spec[0] == node:
+            inflight = self._spec[2]
+            self._spec = None
+            return inflight
+        self._cancel_spec()
+        return None
+
+    def _cancel_spec(self):
+        if self._spec is not None:
+            self.inits.rng.set_state(self._spec[1])
+            self._spec = None
+
+    def spec_rng_state(self):
+        """RNG state with any pending speculation rolled back — what a
+        checkpoint must record so a resumed run redraws the same seeds."""
+        if self._spec is not None:
+            return self._spec[1]
+        return self.inits.rng.get_state()
 
     def solve(self, subset=None, w_parent=None, max_attempts=3):
         """Factor A[:, subset] (full A when subset is None).
@@ -322,44 +438,47 @@ class _Rank2Runner:
         `max_attempts` times on solver failure (singular system),
         mirroring clust_hier_generic.hpp:123-151,435-472.
         """
+        # a serial solve means the sequential flow deviated from the
+        # speculated one — roll back the speculative seed draws first
+        self._cancel_spec()
         if self.inits.initdir:
             return self._solve_hostinit(subset, w_parent, max_attempts)
 
         nmf_opts = self.opts.nmf_opts
         wp = self._wp(w_parent)
         for attempt in range(max_attempts):
-            key = self.inits.next_key()
+            seed = np.int32(self.inits.next_seed())
             # spectral/parent start on the first attempt only: a retry
             # means that basin failed and the reference's random restart
             # is the escape hatch
             init = self.init if attempt == 0 else "random"
             if subset is None:
                 W_, H_, packed = _fused_masked_solve(
-                    self.a_op, None, key, wp,
+                    self.a_op, None, seed, wp,
                     opts=nmf_opts, init=init, fdtype=self.dtype,
                 )
-                sel = slice(None)
+                count, sel = self.n, slice(None)
             else:
                 n_b = max(_MIN_BUCKET, _next_pow2(len(subset)))
                 if self._A_ext is not None and n_b < self.n:
                     W_, H_, packed = _fused_gather_solve(
-                        self._A_ext, self._padded_idx(subset, n_b), key, wp,
-                        n_full=self.n, opts=nmf_opts, init=init,
+                        self._A_ext, self._padded_idx(subset, n_b), seed,
+                        wp, n_full=self.n, opts=nmf_opts, init=init,
                         fdtype=self.dtype,
                     )
-                    sel = slice(0, len(subset))
+                    count, sel = n_b, slice(0, len(subset))
                 else:
                     # bucket the scatter width like the gather path, or
                     # every distinct subset size would retrace (and
                     # recompile) the whole fused solve program
                     W_, H_, packed = _fused_masked_solve(
-                        self.a_op, self._padded_idx(subset, n_b), key, wp,
+                        self.a_op, self._padded_idx(subset, n_b), seed, wp,
                         opts=nmf_opts, init=init, fdtype=self.dtype,
                     )
-                    sel = np.asarray(subset)
+                    count, sel = self.n, np.asarray(subset)
             ph = np.asarray(packed)
             if self._record(ph[0] > 0.5, int(ph[1])):
-                left = (ph[3:] > 0.5)[sel]
+                left = _unpack_left(ph, count)[sel]
                 return _NodeSolve(W_, H_, left, float(ph[2]), True)
             if self.opts.verbose:
                 print("\nNode factorization failed, retrying with new "
@@ -495,8 +614,36 @@ def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
     return priority_one, subset, W, left
 
 
+def _speculate_next(tree, runner, W_buffer, L_buffer):
+    """Dispatch the PREDICTED next pop's pair solve before the current
+    split's fetch (see _Rank2Runner.speculate_pair).  The prediction is
+    the best leaf whose priority is already final — i.e. everything but
+    the two children the in-flight solve is about to score."""
+    if not SPECULATE:
+        return
+    best, best_pr = None, 0.0
+    for q, leaf in enumerate(tree.is_leaf):
+        if not leaf or q == tree.index0 or q == tree.index1:
+            continue
+        pr = tree.nodes[q].priority
+        if pr > best_pr:
+            best_pr, best = pr, q
+    if best is None:
+        return
+    docs = tree.nodes[best].docs
+    left = L_buffer[best]
+    if docs is None or left is None or W_buffer[best] is None:
+        return
+    docs = np.asarray(docs)
+    left = np.asarray(left, dtype=bool)
+    if left.shape[0] != docs.shape[0]:
+        return
+    runner.speculate_pair(best, docs[left], docs[~left], W_buffer[best])
+
+
 def _save_hier_checkpoint(path, tree, W_buffer, L_buffer, rng, stats,
-                          i_next, root_W=None, root_left=None):
+                          i_next, root_W=None, root_left=None,
+                          rng_state=None):
     """Atomic npz checkpoint of the full hierclust state (SURVEY §5.4:
     'checkpoint = (W, H, iteration, RNG key, tree state)' — new scope
     beyond the reference, which has no checkpointing).  Device buffers
@@ -511,7 +658,9 @@ def _save_hier_checkpoint(path, tree, W_buffer, L_buffer, rng, stats,
     payload["max_count"] = np.int64(stats.max_count)
     payload["iter_count"] = np.int64(stats.iter_count)
     payload["rng_state"] = np.frombuffer(
-        pickle.dumps(rng.get_state()), dtype=np.uint8
+        pickle.dumps(rng_state if rng_state is not None
+                     else rng.get_state()),
+        dtype=np.uint8,
     )
     for idx, (Wb, Lb) in enumerate(zip(W_buffer, L_buffer)):
         if Wb is not None:
@@ -651,11 +800,22 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
             left = L_buffer[split_index]
             tree.split(split_index, W, labels=left)
 
-        # factor both children; eligible pairs run as one batched solve
-        pair = runner.solve_pair(
-            tree.left_child_docs(), tree.right_child_docs(),
-            tree.left_child_topic_vector(), tree.right_child_topic_vector(),
-        )
+        # factor both children; eligible pairs run as one batched solve.
+        # W is the split node's (m, 2) buffer: column i IS child i's
+        # parent topic vector, so the buffer rides to the device as one
+        # resident array (no host-side column slicing).  A hit on the
+        # speculative dispatch from the previous split means this pair
+        # is already executing (or done) on device.
+        inflight = runner.take_spec(split_index)
+        if inflight is None:
+            inflight = runner.dispatch_pair(
+                tree.left_child_docs(), tree.right_child_docs(), W,
+            )
+        if inflight is not None:
+            _speculate_next(tree, runner, W_buffer, L_buffer)
+            pair = runner.finish_pair(inflight)
+        else:
+            pair = None
         for slot, (idx, docs_fn, tv_fn) in enumerate((
             (tree.index0, tree.left_child_docs, tree.left_child_topic_vector),
             (tree.index1, tree.right_child_docs,
@@ -674,15 +834,20 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
             print(f"[{i + 1}] ", end="", flush=True)
 
         if checkpoint_path:
+            # record the PRE-speculation RNG state: a resumed run replays
+            # the next split from scratch and must redraw the same seeds
             _save_hier_checkpoint(
                 checkpoint_path, tree, W_buffer, L_buffer, rng, stats,
-                i + 1,
+                i + 1, rng_state=runner.spec_rng_state(),
             )
         if _interrupt_after is not None and (i + 1) >= _interrupt_after:
             raise KeyboardInterrupt(
                 f"test interrupt after {i + 1} splits"
             )
 
+    # roll back any unconsumed speculation so downstream rng consumers
+    # (flat refinement) see the sequential stream position
+    runner._cancel_spec()
     tree.compute_top_terms(opts.maxterms)
     tree.compute_assignments()
     if opts.verbose:

@@ -16,6 +16,82 @@ NONE = -1
 MAX_PRIORITY = np.finfo(np.float64).max
 
 
+class DeviceColumn:
+    """Lazy view of one column of a device-resident (m, 2) factor buffer.
+
+    Tree splits record both children's topic vectors; slicing a device
+    array eagerly would cost one dispatch per column through a
+    high-latency link, so the slice is deferred until a consumer needs
+    the vector — and the batched consumers (top terms, flatclust init)
+    read `.buf` inside one jitted program instead."""
+
+    __slots__ = ("buf", "col")
+
+    def __init__(self, buf, col: int):
+        self.buf = buf
+        self.col = col
+
+    def materialize(self):
+        return self.buf[:, self.col]
+
+
+def _gather_columns(nodes):
+    """(bufs tuple, ((buf_idx, col), ...) rows) for a list of nodes whose
+    topic vectors are DeviceColumns — dedups shared buffers so sibling
+    pairs ship one array, not two slices."""
+    bufs, index, rows = [], {}, []
+    for node in nodes:
+        tv = node.topic_vector
+        key = id(tv.buf)
+        if key not in index:
+            index[key] = len(bufs)
+            bufs.append(tv.buf)
+        rows.append((index[key], tv.col))
+    return tuple(bufs), tuple(rows)
+
+
+_rank_jit = None
+_stack_jit = None
+
+
+def _rank_topic_columns(bufs, rows, max_terms):
+    """Batched descending stable argsort of the selected buffer columns
+    (one jitted program; retraces only per distinct tree shape)."""
+    global _rank_jit
+    if _rank_jit is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(
+            jax.jit, static_argnames=("rows", "max_terms")
+        )
+        def _impl(bufs, rows, max_terms):
+            stacked = jnp.stack([bufs[b][:, c] for b, c in rows], axis=0)
+            return jnp.argsort(-stacked, axis=1, stable=True)[:, :max_terms]
+
+        _rank_jit = _impl
+    return _rank_jit(bufs, rows, max_terms)
+
+
+def _stack_topic_columns(bufs, rows):
+    """(m, len(rows)) device stack of the selected buffer columns."""
+    global _stack_jit
+    if _stack_jit is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("rows",))
+        def _impl(bufs, rows):
+            return jnp.stack([bufs[b][:, c] for b, c in rows], axis=1)
+
+        _stack_jit = _impl
+    return _stack_jit(bufs, rows)
+
+
 @dataclasses.dataclass
 class TreeNode:
     """Reference: TreeNode (tree.hpp:32-53)."""
@@ -119,11 +195,12 @@ class Tree:
             self.nodes[self.index0].topic_vector = np.array(W[:, 0])
             self.nodes[self.index1].topic_vector = np.array(W[:, 1])
         else:
-            # device array: keep columns on device (no d2h); consumers
-            # (priority scoring, batched top terms, flatclust init) all
-            # run on device, and serialization fetches on demand
-            self.nodes[self.index0].topic_vector = W[:, 0]
-            self.nodes[self.index1].topic_vector = W[:, 1]
+            # device array: keep the buffer on device and record LAZY
+            # column views (no d2h, and no per-split slice dispatch);
+            # consumers (priority scoring, batched top terms, flatclust
+            # init) run on device, serialization fetches on demand
+            self.nodes[self.index0].topic_vector = DeviceColumn(W, 0)
+            self.nodes[self.index1].topic_vector = DeviceColumn(W, 1)
 
     # --- queries ----------------------------------------------------------
 
@@ -166,19 +243,17 @@ class Tree:
 
         # device topic vectors are ranked in ONE batched argsort and one
         # small fetch ((nodes, max_terms) int32) — per-node host top_terms
-        # would cost a d2h round trip per node
+        # would cost a d2h round trip per node.  The column slices happen
+        # INSIDE the jitted program (DeviceColumn defers them), so the
+        # whole ranking is one dispatch regardless of node count.
         dev = [
             node for node in self.nodes
             if (node.is_valid and node.topic_vector is not None
                 and not isinstance(node.topic_vector, np.ndarray))
         ]
         if dev:
-            import jax.numpy as jnp
-
-            stacked = jnp.stack([n.topic_vector for n in dev], axis=0)
-            order = np.asarray(
-                jnp.argsort(-stacked, axis=1, stable=True)[:, :max_terms]
-            )
+            bufs, rows = _gather_columns(dev)
+            order = np.asarray(_rank_topic_columns(bufs, rows, max_terms))
             for q, node in enumerate(dev):
                 # int32, matching host top_terms (assignments.py) so the
                 # dtype does not depend on which path built the node
@@ -212,10 +287,18 @@ class Tree:
                 f"flatclust needs {k} leaves, tree has {len(leaves)}"
             )
         vecs = [self.nodes[q].topic_vector for q in leaves]
+        if all(isinstance(v, DeviceColumn) for v in vecs):
+            nodes = [self.nodes[q] for q in leaves]
+            bufs, rows = _gather_columns(nodes)
+            return _stack_topic_columns(bufs, rows)
         if any(not isinstance(v, np.ndarray) for v in vecs):
             import jax.numpy as jnp
 
-            return jnp.stack([jnp.asarray(v) for v in vecs], axis=1)
+            return jnp.stack([
+                v.materialize() if isinstance(v, DeviceColumn)
+                else jnp.asarray(v)
+                for v in vecs
+            ], axis=1)
         W = np.zeros((m, k))
         for c, q in enumerate(leaves):
             W[:, c] = vecs[c]
@@ -261,12 +344,16 @@ class Tree:
             [n.docs is not None for n in self.nodes], dtype=bool
         )
         tv = [
-            n.topic_vector if n.topic_vector is not None
+            (n.topic_vector.materialize()
+             if isinstance(n.topic_vector, DeviceColumn)
+             else n.topic_vector)
+            if n.topic_vector is not None
             else np.zeros(getattr(self, "term_count", 0))
             for n in self.nodes
         ]
         out["topic_vectors"] = (
-            np.stack(tv, axis=1) if tv else np.zeros((0, 0))
+            np.stack([np.asarray(v) for v in tv], axis=1)
+            if tv else np.zeros((0, 0))
         )
         out["has_tv"] = np.array(
             [n.topic_vector is not None for n in self.nodes], dtype=bool

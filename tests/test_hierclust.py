@@ -264,3 +264,85 @@ class TestHierCheckpoint:
         # resume-from-complete: loop body is skipped, results identical
         t2, _ = clust_hier(A, opts, Random(5), checkpoint_path=ck)
         np.testing.assert_array_equal(t1.assignments, t2.assignments)
+
+
+class TestSpeculation:
+    """Speculative next-pop dispatch must never change results — the RNG
+    save/restore makes hits draw the sequential seeds and misses roll
+    back (hierclust._Rank2Runner speculation block).  These need doc
+    counts above _MIN_BUCKET so the pair path (and with it speculation)
+    actually engages — the other fixtures in this file are too small."""
+
+    @staticmethod
+    def _big(seed=3):
+        return _planted_matrix(m=96, n=1400, k=6, seed=seed)
+
+    def test_bit_identical_with_and_without(self, monkeypatch):
+        from smallk_tpu.engines import hierclust as hc
+
+        A, _ = self._big()
+        opts = _clust_opts(6)
+
+        monkeypatch.setattr(hc, "SPECULATE", False)
+        ref_tree, ref_stats = clust_hier(A, opts, Random(21))
+
+        monkeypatch.setattr(hc, "SPECULATE", True)
+        tree, stats = clust_hier(A, opts, Random(21))
+
+        np.testing.assert_array_equal(tree.assignments,
+                                      ref_tree.assignments)
+        for n1, n2 in zip(tree.nodes, ref_tree.nodes):
+            assert n1.priority == n2.priority
+            if n1.docs is not None or n2.docs is not None:
+                np.testing.assert_array_equal(n1.docs, n2.docs)
+        assert stats.nmf_count == ref_stats.nmf_count
+        assert stats.iter_count == ref_stats.iter_count
+
+    def test_speculation_engages(self):
+        """Guard against the pair/speculation path silently gating off:
+        at least one speculative dispatch must hit.  Needs a corpus with
+        realistically decaying split priorities (new children rarely
+        outrank existing leaves there — scripts/spec_hitrate.py measured
+        90-100%); on blocky planted matrices children often win the pop
+        and speculation mostly misses, which is also fine, just not a
+        useful canary."""
+        from smallk_tpu.engines import hierclust as hc
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+
+        A, _ = synthetic_term_doc_corpus(1500, 1400, 8, seed=5)
+        opts = _clust_opts(8, dtype="float32")
+
+        hits = 0
+        orig = hc._Rank2Runner.take_spec
+
+        def counting(self, node):
+            nonlocal hits
+            had = self._spec is not None and self._spec[0] == node
+            out = orig(self, node)
+            hits += bool(had and out is not None)
+            return out
+
+        hc._Rank2Runner.take_spec = counting
+        try:
+            clust_hier(A, opts, Random(21))
+        finally:
+            hc._Rank2Runner.take_spec = orig
+        assert hits >= 1
+
+    def test_resume_with_speculation_pending(self, tmp_path):
+        """The checkpoint records the PRE-speculation RNG state; resuming
+        mid-tree must reproduce the uninterrupted run exactly even though
+        the interrupt landed while a speculative draw was outstanding."""
+        A, _ = self._big(seed=4)
+        opts = _clust_opts(6)
+
+        ref_tree, ref_stats = clust_hier(A, opts, Random(33))
+
+        ck = str(tmp_path / "spec.npz")
+        with pytest.raises(KeyboardInterrupt):
+            clust_hier(A, opts, Random(33), checkpoint_path=ck,
+                       _interrupt_after=2)
+        tree, stats = clust_hier(A, opts, Random(999), checkpoint_path=ck)
+        np.testing.assert_array_equal(tree.assignments,
+                                      ref_tree.assignments)
+        assert stats.nmf_count == ref_stats.nmf_count
