@@ -74,33 +74,53 @@ def _build_buckets(indptr, indices, data, minor_dim, min_len=8,
     return inv, out
 
 
+# Docs per row-bucket block for very wide matrices.  The AH' product
+# gathers rows of the (n, k) H-transpose table; measured on v5e
+# (scripts/tpu_batch18.py), the segmented gather-product runs at
+# ~176-199 GB/s when the table is <= ~34 MB but collapses to ~46 GB/s
+# once it exceeds ~100 MB (locality, not fusion — identical nnz count).
+# Partitioning the docs into 64k-wide blocks keeps every gather inside
+# a small table slice (at k=128 f32: 33 MB) and recovers the fast rate
+# at the cost of one (m, k) partial-sum per block.
+_DOC_BLOCK = 65536
+
+
 @jax.tree_util.register_pytree_node_class
 class EllAOp:
-    """Sparse operand in dual bucketed-ELL form (by columns and by rows)."""
+    """Sparse operand in dual bucketed-ELL form (by columns and by rows).
 
-    def __init__(self, shape, col_inv, col_buckets, row_inv, row_buckets):
+    For matrices wider than 2x `_DOC_BLOCK` docs the row-major family is
+    built PER DOC BLOCK (`row_blocks`): mm_nt then gathers each block's
+    nonzeros from only that block's H-transpose slice and accumulates
+    the (m, k) partials — the TPU-native counterpart of the reference's
+    cache-blocked sparse GEMM threading (sparse_gemm_ab_impl.hpp)."""
+
+    def __init__(self, shape, col_inv, col_buckets, row_inv, row_buckets,
+                 row_blocks=None, row_block_size=0):
         self._shape = tuple(int(s) for s in shape)
         self.col_inv = col_inv          # (n,) inverse permutation
         self.col_buckets = col_buckets  # list of (idx(g,L), vals(g,L))
-        self.row_inv = row_inv          # (m,)
+        self.row_inv = row_inv          # (m,) — None when doc-blocked
         self.row_buckets = row_buckets
+        self.row_blocks = row_blocks    # list of (inv(m,), buckets) or None
+        self.row_block_size = int(row_block_size)
 
     @classmethod
-    def from_scipy(cls, A, dtype=jnp.float32, min_len=8, pad_multiple=1):
+    def from_scipy(cls, A, dtype=jnp.float32, min_len=8, pad_multiple=1,
+                   doc_block="auto"):
         """`pad_multiple`: pad bucket majors to this multiple (set to the
         mesh axis size, or its lcm, for sharded runs — see
-        parallel.mesh.shard_operand)."""
+        parallel.mesh.shard_operand).  `doc_block`: docs per row-bucket
+        block ("auto": `_DOC_BLOCK` when n >= 2x that, else monolithic;
+        None/0 forces monolithic)."""
         csc = A.tocsc()
         csc.sort_indices()
         m, n = csc.shape
         col_inv, cb = _build_buckets(
             csc.indptr, csc.indices, csc.data, m, min_len, pad_multiple
         )
-        csr = A.tocsr()
-        csr.sort_indices()
-        row_inv, rb = _build_buckets(
-            csr.indptr, csr.indices, csr.data, n, min_len, pad_multiple
-        )
+        if doc_block == "auto":
+            doc_block = _DOC_BLOCK if n >= 2 * _DOC_BLOCK else 0
 
         def dev(bkts):
             return [
@@ -108,12 +128,36 @@ class EllAOp:
                 for (_ids, idx, vals) in bkts
             ]
 
+        row_inv = row_bk = blocks = None
+        if doc_block:
+            blocks = []
+            for b0 in range(0, n, int(doc_block)):
+                b1 = min(n, b0 + int(doc_block))
+                # CSC column slices are indptr arithmetic (O(nnz_block));
+                # per-slab tocsr gives block-local column indices
+                slab = csc[:, b0:b1].tocsr()
+                slab.sort_indices()
+                inv_b, rb_b = _build_buckets(
+                    slab.indptr, slab.indices, slab.data, b1 - b0,
+                    min_len, pad_multiple,
+                )
+                blocks.append((jnp.asarray(inv_b), dev(rb_b)))
+        else:
+            csr = A.tocsr()
+            csr.sort_indices()
+            row_inv, rb = _build_buckets(
+                csr.indptr, csr.indices, csr.data, n, min_len, pad_multiple
+            )
+            row_inv, row_bk = jnp.asarray(row_inv), dev(rb)
+
         return cls(
             (m, n),
             jnp.asarray(col_inv),
             dev(cb),
-            jnp.asarray(row_inv),
-            dev(rb),
+            row_inv,
+            row_bk,
+            row_blocks=blocks,
+            row_block_size=int(doc_block or 0),
         )
 
     @property
@@ -185,10 +229,25 @@ class EllAOp:
 
     def mm_nt(self, H):
         """A H^T -> (m, k): per row i, sum of vals * H[:, col]."""
-        table = jnp.concatenate(
-            [H.T, jnp.zeros((1, H.shape[0]), H.dtype)], axis=0
-        )
-        return self._product(self.row_buckets, self.row_inv, table)
+        if self.row_blocks is None:
+            table = jnp.concatenate(
+                [H.T, jnp.zeros((1, H.shape[0]), H.dtype)], axis=0
+            )
+            return self._product(self.row_buckets, self.row_inv, table)
+        # doc-blocked: gather each block's nonzeros from only its slice
+        # of the H-transpose table (static slice bounds — one compile),
+        # then accumulate the (m, k) partials
+        HT = H.T
+        zero = jnp.zeros((1, H.shape[0]), H.dtype)
+        out = None
+        b0 = 0
+        for inv_b, rb_b in self.row_blocks:
+            b1 = min(b0 + self.row_block_size, self._shape[1])
+            tab = jnp.concatenate([HT[b0:b1], zero], axis=0)
+            part = self._product(rb_b, inv_b, tab)
+            out = part if out is None else out + part
+            b0 = b1
+        return out
 
     def col_sums(self):
         ones = jnp.ones((self._shape[0], 1), self.dtype)
@@ -196,19 +255,48 @@ class EllAOp:
 
     def tree_flatten(self):
         flat_cols = [t for pair in self.col_buckets for t in pair]
-        flat_rows = [t for pair in self.row_buckets for t in pair]
-        children = (self.col_inv, self.row_inv, *flat_cols, *flat_rows)
-        aux = (self._shape, len(self.col_buckets), len(self.row_buckets))
+        if self.row_blocks is None:
+            flat_rows = [t for pair in self.row_buckets for t in pair]
+            children = (self.col_inv, self.row_inv, *flat_cols, *flat_rows)
+            aux = (self._shape, len(self.col_buckets),
+                   len(self.row_buckets), None, 0)
+            return children, aux
+        flat_blocks, counts = [], []
+        for inv_b, rb_b in self.row_blocks:
+            flat_blocks.append(inv_b)
+            flat_blocks.extend(t for pair in rb_b for t in pair)
+            counts.append(len(rb_b))
+        children = (self.col_inv, *flat_cols, *flat_blocks)
+        aux = (self._shape, len(self.col_buckets), 0, tuple(counts),
+               self.row_block_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        shape, n_cb, n_rb = aux
-        col_inv, row_inv = children[0], children[1]
-        rest = children[2:]
+        shape, n_cb, n_rb, block_counts, block_size = aux
+        if block_counts is None:
+            col_inv, row_inv = children[0], children[1]
+            rest = children[2:]
+            cb = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_cb)]
+            off = 2 * n_cb
+            rb = [
+                (rest[off + 2 * i], rest[off + 2 * i + 1])
+                for i in range(n_rb)
+            ]
+            return cls(shape, col_inv, cb, row_inv, rb)
+        col_inv = children[0]
+        rest = children[1:]
         cb = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_cb)]
         off = 2 * n_cb
-        rb = [
-            (rest[off + 2 * i], rest[off + 2 * i + 1]) for i in range(n_rb)
-        ]
-        return cls(shape, col_inv, cb, row_inv, rb)
+        blocks = []
+        for cnt in block_counts:
+            inv_b = rest[off]
+            off += 1
+            rb_b = [
+                (rest[off + 2 * i], rest[off + 2 * i + 1])
+                for i in range(cnt)
+            ]
+            off += 2 * cnt
+            blocks.append((inv_b, rb_b))
+        return cls(shape, col_inv, cb, None, None,
+                   row_blocks=blocks, row_block_size=block_size)

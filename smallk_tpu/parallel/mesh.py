@@ -114,6 +114,19 @@ def shard_operand(a_op, mesh: Mesh):
         # the inverse permutations are small (one int per row/col) and are
         # consumed by a cross-bucket take: keep them replicated
         rep = NamedSharding(mesh, P())
+        if a_op.row_blocks is not None:
+            blocks = [
+                (jax.device_put(inv_b, rep), put_buckets(rb_b, t, nt))
+                for inv_b, rb_b in a_op.row_blocks
+            ]
+            return EllAOp(
+                a_op.shape,
+                jax.device_put(a_op.col_inv, rep),
+                put_buckets(a_op.col_buckets, d, nd),
+                None, None,
+                row_blocks=blocks,
+                row_block_size=a_op.row_block_size,
+            )
         return EllAOp(
             a_op.shape,
             jax.device_put(a_op.col_inv, rep),

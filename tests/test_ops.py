@@ -155,3 +155,68 @@ def test_embeddings_save_load(tmp_path):
     np.testing.assert_allclose(
         np.asarray(emb2.docs.table), np.asarray(emb.docs.table)
     )
+
+
+@pytest.mark.parametrize("doc_block", [64, 100, 1024])
+def test_ell_doc_blocked_matches_dense(doc_block):
+    """Doc-blocked row buckets (the wide-matrix AH' locality fix,
+    scripts/tpu_batch18.py): blocked mm_nt == dense, col side untouched,
+    and the operand still round-trips as a jit argument pytree."""
+    import jax
+
+    A, W, H = _random_problem(70, 300, 5, 0.05, seed=9)
+    Wd, Hd = jnp.asarray(W), jnp.asarray(H)
+    dense = DenseAOp(jnp.asarray(A.toarray()))
+    ell = EllAOp.from_scipy(A, dtype=DTYPE, doc_block=doc_block)
+    assert ell.row_blocks is not None
+    assert len(ell.row_blocks) == -(-300 // doc_block)
+
+    np.testing.assert_allclose(
+        np.asarray(ell.mm_nt(Hd)), np.asarray(dense.mm_nt(Hd)),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ell.mm_tn(Wd)), np.asarray(dense.mm_tn(Wd)),
+        rtol=1e-10, atol=1e-12,
+    )
+
+    # pytree: pass through jit as an argument (the only way big operands
+    # may reach compiled code — closures bake them into the HLO)
+    out = jax.jit(lambda op, h: op.mm_nt(h))(ell, Hd)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(dense.mm_nt(Hd)),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_ell_doc_blocked_auto_threshold():
+    """auto only engages on very wide matrices (>= 2 x _DOC_BLOCK)."""
+    from smallk_tpu.ops.ell import _DOC_BLOCK
+
+    A, _, _ = _random_problem(20, 500, 2, 0.05, seed=3)
+    assert EllAOp.from_scipy(A, dtype=DTYPE).row_blocks is None
+    assert 2 * _DOC_BLOCK > 500  # the auto gate really was exercised
+
+
+def test_ell_doc_blocked_shards():
+    """Blocked operand placed over a (1, N) virtual mesh computes the
+    same products (GSPMD path of parallel.mesh.shard_operand)."""
+    import jax
+    from smallk_tpu.parallel.mesh import make_mesh, shard_operand
+
+    n_dev = len(jax.devices())
+    A, W, H = _random_problem(60, 240, 4, 0.06, seed=4)
+    Wd, Hd = jnp.asarray(W), jnp.asarray(H)
+    dense = DenseAOp(jnp.asarray(A.toarray()))
+    ell = EllAOp.from_scipy(A, dtype=DTYPE, doc_block=64,
+                            pad_multiple=n_dev)
+    mesh = make_mesh((1, n_dev))
+    sharded = shard_operand(ell, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded.mm_nt(Hd)), np.asarray(dense.mm_nt(Hd)),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.mm_tn(Wd)), np.asarray(dense.mm_tn(Wd)),
+        rtol=1e-10, atol=1e-12,
+    )
