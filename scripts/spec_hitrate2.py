@@ -27,26 +27,13 @@ nmf_opts = NmfOptions(
 )
 
 orig = Tree.min_max_leaf_priorities
-pops = []
+pops = []   # actual pop sequence
+preds = []  # (P1, P2) made at each split's DISPATCH time
 
 
 def traced(self):
     mn, mx, idx = orig(self)
-    newest = getattr(self, "_newest", None)
-    # two best leaves whose priorities were final before the in-flight
-    # split's children were scored
-    cand = sorted(
-        (
-            (self.nodes[q].priority, q)
-            for q, leaf in enumerate(self.is_leaf)
-            if leaf and not (newest and q in newest)
-            and self.nodes[q].priority > 0
-        ),
-        reverse=True,
-    )
-    p1 = cand[0][1] if cand else None
-    p2 = cand[1][1] if len(cand) > 1 else None
-    pops.append((idx, p1, p2))
+    pops.append(idx)
     return mn, mx, idx
 
 
@@ -55,7 +42,21 @@ orig_split = Tree.split
 
 def split_traced(self, index, W, H=None, labels=None):
     out = orig_split(self, index, W, H=H, labels=labels)
-    self._newest = (self.index0, self.index1)
+    # dispatch-time prediction: this split's pair is now in flight, its
+    # children (index0/index1) are the ONLY leaves without final
+    # priorities — everything else is fair game for the next two pops
+    cand = sorted(
+        (
+            (self.nodes[q].priority, q)
+            for q, leaf in enumerate(self.is_leaf)
+            if leaf and q not in (self.index0, self.index1)
+            and self.nodes[q].priority > 0
+        ),
+        reverse=True,
+    )
+    p1 = cand[0][1] if cand else None
+    p2 = cand[1][1] if len(cand) > 1 else None
+    preds.append((p1, p2))
     return out
 
 
@@ -71,12 +72,17 @@ for tag, (m, n, kc, leaves) in {
         copts = ClustOptions(nmf_opts=nmf_opts, num_clusters=leaves,
                              verbose=False)
         pops.clear()
+        preds.clear()
         hc.clust_hier(A, copts, Random(seed))
-        h1 = sum(1 for i, (idx, p1, _) in enumerate(pops) if idx == p1)
-        # depth-2: pop i predicted by slot-1 at i-1 AND by slot-2 at i-2
-        h2 = sum(
-            1 for i in range(2, len(pops))
-            if pops[i][0] == pops[i - 1][1] == pops[i - 2][2]
-        )
-        print(f"{tag} seed {seed}: depth-1 {h1}/{len(pops)}  "
-              f"depth-2 {h2}/{max(len(pops) - 2, 0)}")
+        # preds[s] was made at the dispatch of split s+1 (split_root does
+        # not fire Tree.split), which followed pops[s]; it predicts the
+        # NEXT two pops, pops[s+1] and pops[s+2]
+        n1 = n2 = h1 = h2 = 0
+        for s, (p1, p2) in enumerate(preds):
+            if s + 1 < len(pops):
+                n1 += 1
+                h1 += pops[s + 1] == p1
+            if s + 2 < len(pops):
+                n2 += 1
+                h2 += pops[s + 1] == p1 and pops[s + 2] == p2
+        print(f"{tag} seed {seed}: depth-1 {h1}/{n1}  depth-2 {h2}/{n2}")

@@ -24,6 +24,7 @@ dev tunnel).  Tree bookkeeping and doc partitioning are host-side numpy.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -103,12 +104,15 @@ _MIN_BUCKET = 512
 # 2 x max(sibling iterations).  Module knob for benchmarking.
 PAIR_BATCHING = True
 
-# Speculative dispatch of the predicted next pop's pair solve (hides its
-# device execution inside the current split's result-fetch round trip;
-# measured 90-100% pop predictability, scripts/spec_hitrate.py).  Bit-
-# identical to the sequential schedule by construction — see the
-# speculation block in _Rank2Runner.  Module knob for benchmarking.
+# Speculative dispatch of the predicted next pops' pair solves (hides
+# their device execution inside the current split's result-fetch round
+# trip; measured 90-100% depth-1 and 87-99% depth-2 pop predictability,
+# scripts/spec_hitrate{,2}.py).  Bit-identical to the sequential
+# schedule by construction — see the speculation block in _Rank2Runner.
+# Module knobs for benchmarking.
 SPECULATE = True
+SPEC_DEPTH = 2       # how many pops ahead to keep in flight
+SPEC_PREFETCH = True  # background-thread fetch of speculative results
 
 
 class _NodeSolve(NamedTuple):
@@ -244,6 +248,75 @@ def _fused_masked_solve(a_op, idx, seed, w_parent, opts, init, fdtype):
     return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
 
 
+class _PrefetchPool:
+    """One background thread that turns device arrays into host arrays.
+
+    Through a high-latency device link every synchronous fetch costs a
+    full ~26 ms round trip (scripts/tpu_batch17.py); the pool starts the
+    blocking transfer of a speculative result as soon as it is
+    dispatched, so the main thread's later take() usually returns
+    instantly.  Results are bit-identical to a synchronous np.asarray —
+    only the schedule changes.  Worker exceptions surface on take()."""
+
+    def __init__(self):
+        import queue
+
+        self._q = queue.Queue()
+        self._out = {}
+        self._dropped = set()
+        self._cv = threading.Condition()
+        self._next_token = 0
+        self._thread = None
+
+    def submit(self, arr):
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, name="smallk-prefetch", daemon=True
+            )
+            self._thread.start()
+        tok = self._next_token
+        self._next_token += 1
+        self._q.put((tok, arr))
+        return tok
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            tok, arr = item
+            try:
+                res = np.asarray(arr)
+            except BaseException as e:  # re-raised on take()
+                res = e
+            with self._cv:
+                if tok in self._dropped:
+                    self._dropped.discard(tok)
+                else:
+                    self._out[tok] = res
+                self._cv.notify_all()
+
+    def take(self, tok):
+        with self._cv:
+            while tok not in self._out:
+                self._cv.wait()
+            res = self._out.pop(tok)
+        if isinstance(res, BaseException):
+            raise res
+        return res
+
+    def drop(self, tok):
+        """Forget a cancelled speculation's result (arrived or pending)."""
+        with self._cv:
+            if self._out.pop(tok, None) is None:
+                self._dropped.add(tok)
+
+    def close(self):
+        if self._thread is not None:
+            self._q.put(None)
+            self._thread = None
+
+
 class _Rank2Runner:
     """Runs per-node rank-2 factorizations on device with retry ladder.
 
@@ -269,7 +342,10 @@ class _Rank2Runner:
         self.dtype = dtype
         self.mesh = mesh
         self.init = opts.init_method
-        self._spec = None  # (node, pre-draw rng state, in-flight pair)
+        # speculation stack: (node, pre-draw rng state, in-flight pair,
+        # prefetch token), ordered by seed-draw time
+        self._spec = []
+        self._pool = None
         m, n = a_op.shape
         self.m, self.n = m, n
         self._A_ext = None  # dense A with one trailing zero column
@@ -346,11 +422,16 @@ class _Rank2Runner:
             (np.asarray(subset_l), np.asarray(subset_r)), n_b, W_parent
         )
 
-    def finish_pair(self, inflight):
+    def finish_pair(self, inflight, token=None):
         """Block on the packed result of a dispatched pair and unpack it
-        into two _NodeSolves (serial retry ladder on rare failures)."""
+        into two _NodeSolves (serial retry ladder on rare failures).
+        `token`: prefetch-pool handle for speculative dispatches — the
+        transfer started in the background when the pair was dispatched."""
         W_, H_, packed, subsets, W_parent = inflight
-        ph = np.asarray(packed)  # one fetch: (2, 3 + n_b/32)
+        if token is not None and self._pool is not None:
+            ph = self._pool.take(token)  # (2, 3 + n_b/32)
+        else:
+            ph = np.asarray(packed)  # one fetch: (2, 3 + n_b/32)
         out = []
         for i, s in enumerate(subsets):
             if self._record(ph[i, 0] > 0.5, int(ph[i, 1])):
@@ -379,57 +460,88 @@ class _Rank2Runner:
             return None
         return self.finish_pair(inflight)
 
-    # --- speculative dispatch ---------------------------------------------
+    # --- speculative dispatch pipeline --------------------------------------
     #
     # The tree loop's only cross-split dependency is the priority pop,
-    # and measured pop traces are 90-100% predictable from the leaves
-    # that already have final priorities (scripts/spec_hitrate.py): a
-    # freshly split pair almost never outranks the best existing leaf.
-    # So after dispatching split i's pair — before paying the ~26 ms
-    # round-trip fetch through the device link — the loop dispatches the
-    # predicted next pop's pair too, hiding its whole device execution
-    # inside the fetch latency.  Determinism is preserved exactly: the
-    # host RNG state is saved before the speculative seed draws, and any
+    # and measured pop traces are highly predictable from the leaves
+    # that already have final priorities: 90-100% one pop ahead and
+    # 87-99% two ahead (scripts/spec_hitrate{,2}.py) — a freshly split
+    # pair almost never outranks the best existing leaves.  So the loop
+    # keeps a stack of SPEC_DEPTH predicted pops' pair solves in flight,
+    # and a background thread (_PrefetchPool) starts each speculative
+    # result's device->host transfer at dispatch time: by the time a
+    # prediction is consumed, both its execution and its ~26 ms fetch
+    # round trip have already overlapped earlier splits.  Determinism is
+    # preserved exactly: the host RNG state is saved before each
+    # speculative seed draw (stack entries in draw order), and any
     # deviation from the predicted sequential flow (pop mismatch, an
-    # outlier-path serial solve, loop exit) restores it, so the seed
-    # stream any CONSUMED solve sees is identical to the unspeculated
-    # run's.  (The reference's flow is strictly sequential,
+    # outlier-path serial solve, loop exit) rolls the stream back, so
+    # the seed stream any CONSUMED solve sees is identical to the
+    # unspeculated run's.  (The reference's flow is strictly sequential,
     # clust_hier_generic.hpp:77-238; this changes the schedule, never
     # the arithmetic.)
 
-    def speculate_pair(self, node, subset_l, subset_r, W_parent):
-        """Dispatch the pair solve for predicted pop `node` (async)."""
-        self._cancel_spec()
+    def push_spec(self, node, subset_l, subset_r, W_parent):
+        """Dispatch the pair solve for predicted pop `node` (async) and
+        append it to the speculation stack.  Returns False when the pair
+        is ineligible (nothing was dispatched or drawn)."""
         n_b = self._pair_eligible(subset_l, subset_r)
         if n_b is None:
-            return
+            return False
         state = self.inits.rng.get_state()
         inflight = self._start_pair(
             (np.asarray(subset_l), np.asarray(subset_r)), n_b, W_parent
         )
-        self._spec = (node, state, inflight)
+        token = None
+        if SPEC_PREFETCH:
+            if self._pool is None:
+                self._pool = _PrefetchPool()
+            token = self._pool.submit(inflight[2])  # packed vector
+        self._spec.append((node, state, inflight, token))
+        return True
+
+    def spec_nodes(self):
+        """Node indices currently speculated, in dispatch order."""
+        return [entry[0] for entry in self._spec]
 
     def take_spec(self, node):
-        """In-flight pair for `node` if the speculation hit; on a miss
-        the speculative seed draws are rolled back and None returns."""
-        if self._spec is not None and self._spec[0] == node:
-            inflight = self._spec[2]
-            self._spec = None
-            return inflight
+        """(inflight, prefetch token) for `node` if it heads the
+        speculation stack; on a head miss ALL speculative seed draws are
+        rolled back (deeper entries' seeds were drawn after the head's,
+        so they cannot be kept) and None returns."""
+        if self._spec and self._spec[0][0] == node:
+            _, _, inflight, token = self._spec.pop(0)
+            return inflight, token
         self._cancel_spec()
         return None
 
+    def cancel_spec_from(self, k):
+        """Roll back speculation stack entries k..end (restore the RNG
+        to entry k's pre-draw state, drop their prefetches)."""
+        if k < len(self._spec):
+            self.inits.rng.set_state(self._spec[k][1])
+            for entry in self._spec[k:]:
+                if entry[3] is not None:
+                    self._pool.drop(entry[3])
+            del self._spec[k:]
+
     def _cancel_spec(self):
-        if self._spec is not None:
-            self.inits.rng.set_state(self._spec[1])
-            self._spec = None
+        self.cancel_spec_from(0)
 
     def spec_rng_state(self):
         """RNG state with any pending speculation rolled back — what a
         checkpoint must record so a resumed run redraws the same seeds."""
-        if self._spec is not None:
-            return self._spec[1]
+        if self._spec:
+            return self._spec[0][1]
         return self.inits.rng.get_state()
+
+    def close(self):
+        """Roll back outstanding speculation and stop the prefetch
+        thread.  clust_hier calls this on every exit path."""
+        self._cancel_spec()
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
 
     def solve(self, subset=None, w_parent=None, max_attempts=3):
         """Factor A[:, subset] (full A when subset is None).
@@ -615,30 +727,47 @@ def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
 
 
 def _speculate_next(tree, runner, W_buffer, L_buffer):
-    """Dispatch the PREDICTED next pop's pair solve before the current
-    split's fetch (see _Rank2Runner.speculate_pair).  The prediction is
-    the best leaf whose priority is already final — i.e. everything but
-    the two children the in-flight solve is about to score."""
+    """Keep the next SPEC_DEPTH predicted pops' pair solves in flight
+    (see the speculation block in _Rank2Runner).  Predictions are the
+    top-priority leaves whose priorities are already final — everything
+    but the two children the current in-flight solve is about to score.
+    Pending entries that still match the prediction prefix are kept (one
+    dispatch per node); a mismatched suffix is rolled back."""
     if not SPECULATE:
+        runner.cancel_spec_from(0)
         return
-    best, best_pr = None, 0.0
-    for q, leaf in enumerate(tree.is_leaf):
-        if not leaf or q == tree.index0 or q == tree.index1:
-            continue
-        pr = tree.nodes[q].priority
-        if pr > best_pr:
-            best_pr, best = pr, q
-    if best is None:
-        return
-    docs = tree.nodes[best].docs
-    left = L_buffer[best]
-    if docs is None or left is None or W_buffer[best] is None:
-        return
-    docs = np.asarray(docs)
-    left = np.asarray(left, dtype=bool)
-    if left.shape[0] != docs.shape[0]:
-        return
-    runner.speculate_pair(best, docs[left], docs[~left], W_buffer[best])
+    cand = [
+        (-tree.nodes[q].priority, q)
+        for q, leaf in enumerate(tree.is_leaf)
+        if leaf and q != tree.index0 and q != tree.index1
+        and tree.nodes[q].priority > 0
+    ]
+    # ties break toward the smaller node index, like the pop's scan
+    # (min_max_leaf_priorities uses strict > while ascending)
+    cand.sort()
+    preds = [q for _, q in cand[:SPEC_DEPTH]]
+
+    pending = runner.spec_nodes()
+    keep = 0
+    while (keep < len(pending) and keep < len(preds)
+           and pending[keep] == preds[keep]):
+        keep += 1
+    runner.cancel_spec_from(keep)
+
+    for node in preds[keep:]:
+        docs = tree.nodes[node].docs
+        left = L_buffer[node]
+        if docs is None or left is None or W_buffer[node] is None:
+            break
+        docs = np.asarray(docs)
+        left = np.asarray(left, dtype=bool)
+        if left.shape[0] != docs.shape[0]:
+            break
+        if not runner.push_spec(node, docs[left], docs[~left],
+                                W_buffer[node]):
+            # an ineligible prediction runs serially when popped, which
+            # rolls back everything after it — no point dispatching more
+            break
 
 
 def _save_hier_checkpoint(path, tree, W_buffer, L_buffer, rng, stats,
@@ -784,70 +913,79 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
 
     split_index = 0
 
-    for i in range(start_i, num_clusters - 1):
-        if i == 0:
-            min_priority = np.inf
-            tree.split_root(W, labels=left)
-        else:
-            min_priority, max_priority, split_index = (
-                tree.min_max_leaf_priorities()
-            )
-            if max_priority < 0:
-                if opts.verbose:
-                    print("\nHierNMF2: no further factorization possible.\n")
-                break
-            W = W_buffer[split_index]
-            left = L_buffer[split_index]
-            tree.split(split_index, W, labels=left)
+    try:
+        for i in range(start_i, num_clusters - 1):
+            if i == 0:
+                min_priority = np.inf
+                tree.split_root(W, labels=left)
+            else:
+                min_priority, max_priority, split_index = (
+                    tree.min_max_leaf_priorities()
+                )
+                if max_priority < 0:
+                    if opts.verbose:
+                        print("\nHierNMF2: no further factorization possible.\n")
+                    break
+                W = W_buffer[split_index]
+                left = L_buffer[split_index]
+                tree.split(split_index, W, labels=left)
 
-        # factor both children; eligible pairs run as one batched solve.
-        # W is the split node's (m, 2) buffer: column i IS child i's
-        # parent topic vector, so the buffer rides to the device as one
-        # resident array (no host-side column slicing).  A hit on the
-        # speculative dispatch from the previous split means this pair
-        # is already executing (or done) on device.
-        inflight = runner.take_spec(split_index)
-        if inflight is None:
-            inflight = runner.dispatch_pair(
-                tree.left_child_docs(), tree.right_child_docs(), W,
-            )
-        if inflight is not None:
-            _speculate_next(tree, runner, W_buffer, L_buffer)
-            pair = runner.finish_pair(inflight)
-        else:
-            pair = None
-        for slot, (idx, docs_fn, tv_fn) in enumerate((
-            (tree.index0, tree.left_child_docs, tree.left_child_topic_vector),
-            (tree.index1, tree.right_child_docs,
-             tree.right_child_topic_vector),
-        )):
-            priority, subset, W_c, left_c = _trial_split(
-                runner, docs_fn(), min_priority, tv_fn(), opts,
-                first=None if pair is None else pair[slot],
-            )
-            tree.nodes[idx].docs = subset  # TrialSplit may drop outliers
-            tree.set_node_priority(idx, priority)
-            W_buffer[idx] = W_c
-            L_buffer[idx] = left_c
+            # factor both children; eligible pairs run as one batched solve.
+            # W is the split node's (m, 2) buffer: column i IS child i's
+            # parent topic vector, so the buffer rides to the device as one
+            # resident array (no host-side column slicing).  A hit on the
+            # speculative dispatch from an earlier split means this pair is
+            # already executing (or done, with its result fetch already in
+            # flight on the prefetch thread).
+            token = None
+            hit = runner.take_spec(split_index)
+            if hit is not None:
+                inflight, token = hit
+            else:
+                inflight = runner.dispatch_pair(
+                    tree.left_child_docs(), tree.right_child_docs(), W,
+                )
+            if inflight is not None:
+                _speculate_next(tree, runner, W_buffer, L_buffer)
+                pair = runner.finish_pair(inflight, token)
+            else:
+                pair = None
+            for slot, (idx, docs_fn, tv_fn) in enumerate((
+                (tree.index0, tree.left_child_docs, tree.left_child_topic_vector),
+                (tree.index1, tree.right_child_docs,
+                 tree.right_child_topic_vector),
+            )):
+                priority, subset, W_c, left_c = _trial_split(
+                    runner, docs_fn(), min_priority, tv_fn(), opts,
+                    first=None if pair is None else pair[slot],
+                )
+                tree.nodes[idx].docs = subset  # TrialSplit may drop outliers
+                tree.set_node_priority(idx, priority)
+                W_buffer[idx] = W_c
+                L_buffer[idx] = left_c
 
-        if opts.verbose:
-            print(f"[{i + 1}] ", end="", flush=True)
+            if opts.verbose:
+                print(f"[{i + 1}] ", end="", flush=True)
 
-        if checkpoint_path:
-            # record the PRE-speculation RNG state: a resumed run replays
-            # the next split from scratch and must redraw the same seeds
-            _save_hier_checkpoint(
-                checkpoint_path, tree, W_buffer, L_buffer, rng, stats,
-                i + 1, rng_state=runner.spec_rng_state(),
-            )
-        if _interrupt_after is not None and (i + 1) >= _interrupt_after:
-            raise KeyboardInterrupt(
-                f"test interrupt after {i + 1} splits"
-            )
+            if checkpoint_path:
+                # record the PRE-speculation RNG state: a resumed run replays
+                # the next split from scratch and must redraw the same seeds
+                _save_hier_checkpoint(
+                    checkpoint_path, tree, W_buffer, L_buffer, rng, stats,
+                    i + 1, rng_state=runner.spec_rng_state(),
+                )
+            if _interrupt_after is not None and (i + 1) >= _interrupt_after:
+                raise KeyboardInterrupt(
+                    f"test interrupt after {i + 1} splits"
+                )
 
-    # roll back any unconsumed speculation so downstream rng consumers
-    # (flat refinement) see the sequential stream position
-    runner._cancel_spec()
+    finally:
+        # roll back any unconsumed speculation (downstream rng
+        # consumers like flat refinement must see the sequential
+        # stream position) and stop the prefetch thread — on the
+        # normal exit, an early break, and test interrupts alike
+        runner.close()
+
     tree.compute_top_terms(opts.maxterms)
     tree.compute_assignments()
     if opts.verbose:

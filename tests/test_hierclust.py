@@ -317,7 +317,7 @@ class TestSpeculation:
 
         def counting(self, node):
             nonlocal hits
-            had = self._spec is not None and self._spec[0] == node
+            had = bool(self._spec) and self._spec[0][0] == node
             out = orig(self, node)
             hits += bool(had and out is not None)
             return out
@@ -346,3 +346,26 @@ class TestSpeculation:
         np.testing.assert_array_equal(tree.assignments,
                                       ref_tree.assignments)
         assert stats.nmf_count == ref_stats.nmf_count
+
+    @pytest.mark.parametrize("depth,prefetch", [(1, True), (3, True),
+                                                (2, False)])
+    def test_depth_and_prefetch_parity(self, monkeypatch, depth, prefetch):
+        """Any speculation depth and either fetch mechanism must leave
+        results bit-identical to the sequential schedule."""
+        from smallk_tpu.engines import hierclust as hc
+
+        A, _ = self._big()
+        opts = _clust_opts(6)
+
+        monkeypatch.setattr(hc, "SPECULATE", False)
+        ref_tree, ref_stats = clust_hier(A, opts, Random(21))
+
+        monkeypatch.setattr(hc, "SPECULATE", True)
+        monkeypatch.setattr(hc, "SPEC_DEPTH", depth)
+        monkeypatch.setattr(hc, "SPEC_PREFETCH", prefetch)
+        tree, stats = clust_hier(A, opts, Random(21))
+
+        np.testing.assert_array_equal(tree.assignments,
+                                      ref_tree.assignments)
+        assert stats.nmf_count == ref_stats.nmf_count
+        assert stats.iter_count == ref_stats.iter_count
