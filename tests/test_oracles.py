@@ -242,3 +242,63 @@ class TestMuOracle:
             assert bool(ok)
         np.testing.assert_allclose(np.asarray(W), Wn, atol=1e-10)
         np.testing.assert_allclose(np.asarray(H), Hn, atol=1e-10)
+
+
+def np_rank2_trajectory(A, W0, H0, iters):
+    """Reference rank-2 alternation (nmf_solver_rank2.hpp: solve H via
+    the 2x2 normal equations, negative/NaN fixup by the larger-norm
+    single-column fallback, then W likewise, then normalize W's columns
+    and rescale H) transcribed into plain numpy."""
+    W, H = W0.copy(), H0.copy()
+
+    def fixup_cols(X, G, R):
+        # X (2, n) solution of G X = R; fallback per column where any
+        # entry is <= 0: keep the single component with the larger
+        # scaled value, zero the other (nmf_solver_rank2.hpp fixup)
+        v1 = R[0] / G[0, 0]
+        v2 = R[1] / G[1, 1]
+        pick1 = v1 * np.sqrt(G[0, 0]) >= v2 * np.sqrt(G[1, 1])
+        bad = (X[0] <= 0) | (X[1] <= 0)
+        out = X.copy()
+        out[0] = np.where(bad, np.where(pick1, v1, 0.0), X[0])
+        out[1] = np.where(bad, np.where(pick1, 0.0, v2), X[1])
+        return out
+
+    for _ in range(iters):
+        WtW = W.T @ W
+        WtA = W.T @ A
+        H = fixup_cols(np.linalg.solve(WtW, WtA), WtW, WtA)
+        HHt = H @ H.T
+        AHt = A @ H.T
+        # solve W HHt = AHt via HHt^T W^T = AHt^T; fixup in (2, m) form
+        W = fixup_cols(np.linalg.solve(HHt.T, AHt.T), HHt, AHt.T).T
+        norms = np.linalg.norm(W, axis=0)
+        W = W / norms
+        H = H * norms[:, None]
+    return W, H
+
+
+class TestRank2Oracle:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_trajectory(self, seed):
+        from smallk_tpu.solvers import rank2
+
+        iters = 30
+        rng = np.random.RandomState(seed)
+        A = rng.rand(30, 24)
+        W0 = rng.rand(30, 2)
+        H0 = rng.rand(2, 24)
+        Wn, Hn = np_rank2_trajectory(A, W0, H0, iters)
+
+        a_op = DenseAOp(jnp.asarray(A, DTYPE))
+        W = jnp.asarray(W0, DTYPE)
+        H = jnp.asarray(H0, DTYPE)
+        state = rank2.init(a_op, W, H)
+        step = jax.jit(lambda W, H, s: rank2.step(a_op, W, H, s))
+        for _ in range(iters):
+            W, H, _, _, state, ok = step(W, H, state)
+            assert bool(ok)
+        np.testing.assert_allclose(np.asarray(W), Wn, rtol=1e-9,
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(H), Hn, rtol=1e-9,
+                                   atol=1e-11)
