@@ -78,7 +78,7 @@ for tag, (m, n, kc, leaves) in {
                 # values.
                 cls["prev-best-child" if pop == best
                     else "prev-other-child"] += 1
-            elif history[i - 2][1] and i >= 2 and pop in history[i - 2][1]:
+            elif i >= 2 and history[i - 2][1] and pop in history[i - 2][1]:
                 cls["grandprev-child"] += 1
             else:
                 cls["older-leaf"] += 1

@@ -26,8 +26,8 @@ G = 1_250_000    # bucket rows: G*L = 80M gathered rows, like the 1M corpus
 
 
 def bench(fn, *args, reps=3):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else \
-        fn(*args).block_until_ready()
+    r = fn(*args)
+    (r[0] if isinstance(r, tuple) else r).block_until_ready()
     best = np.inf
     for _ in range(reps):
         t = time.perf_counter()

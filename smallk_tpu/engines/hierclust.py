@@ -285,6 +285,13 @@ class _PrefetchPool:
             if item is None:
                 return
             tok, arr = item
+            # skip fetches cancelled while queued: a dead transfer would
+            # still cost its full round trip and serially delay every
+            # live prefetch behind it
+            with self._cv:
+                if tok in self._dropped:
+                    self._dropped.discard(tok)
+                    continue
             try:
                 res = np.asarray(arr)
             except BaseException as e:  # re-raised on take()

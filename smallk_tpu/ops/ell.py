@@ -176,10 +176,15 @@ class EllAOp:
     _GATHER_BYTES_BUDGET = 256 * 1024 * 1024
 
     @classmethod
-    def _bucket_product(cls, idx, vals, table):
+    def _bucket_product(cls, idx, vals, table, out_dtype=None):
+        """`out_dtype`: result dtype (default: vals.dtype).  The blocked
+        mm_nt passes the f32/f64 accumulator dtype so per-block partials
+        are rounded ONCE after cross-block summation, like the
+        monolithic path — not once per block."""
         k = table.shape[1]
         g_total, L = idx.shape
         elem = jnp.dtype(vals.dtype).itemsize
+        out_dtype = out_dtype or vals.dtype
 
         def block(idx_b, vals_b):
             gb = jnp.take(table, idx_b.reshape(-1), axis=0)
@@ -188,7 +193,7 @@ class EllAOp:
                 "gl,glk->gk", vals_b, gb,
                 precision=_PRECISION,
                 preferred_element_type=_pet(vals_b),
-            ).astype(vals_b.dtype)
+            ).astype(out_dtype)
 
         if g_total * L * k * elem <= cls._GATHER_BYTES_BUDGET:
             return block(idx, vals)
@@ -207,7 +212,7 @@ class EllAOp:
         return out.reshape(nb * chunk, k)[:g_total]
 
     @classmethod
-    def _product(cls, buckets, inv, table):
+    def _product(cls, buckets, inv, table, out_dtype=None):
         """Generic bucketed product: for each major slice j,
         out[j, :] = sum_l vals[j, l] * table[idx[j, l], :].
 
@@ -215,7 +220,8 @@ class EllAOp:
         for padding).  Returns (n_major, k).
         """
         pieces = [
-            cls._bucket_product(idx, vals, table) for idx, vals in buckets
+            cls._bucket_product(idx, vals, table, out_dtype)
+            for idx, vals in buckets
         ]
         stacked = jnp.concatenate(pieces, axis=0)
         return jnp.take(stacked, inv, axis=0)
@@ -236,18 +242,22 @@ class EllAOp:
             return self._product(self.row_buckets, self.row_inv, table)
         # doc-blocked: gather each block's nonzeros from only its slice
         # of the H-transpose table (static slice bounds — one compile),
-        # then accumulate the (m, k) partials
+        # then accumulate the (m, k) partials.  Partials stay in the
+        # f32/f64 accumulator dtype and are rounded ONCE at the end, so
+        # a bf16 operand sees the same single rounding as the monolithic
+        # path rather than one per block.
         HT = H.T
         zero = jnp.zeros((1, H.shape[0]), H.dtype)
+        acc = _pet(self.col_buckets[0][1]) if self.col_buckets else HT.dtype
         out = None
         b0 = 0
         for inv_b, rb_b in self.row_blocks:
             b1 = min(b0 + self.row_block_size, self._shape[1])
             tab = jnp.concatenate([HT[b0:b1], zero], axis=0)
-            part = self._product(rb_b, inv_b, tab)
+            part = self._product(rb_b, inv_b, tab, out_dtype=acc)
             out = part if out is None else out + part
             b0 = b1
-        return out
+        return out.astype(self.dtype)
 
     def col_sums(self):
         ones = jnp.ones((self._shape[0], 1), self.dtype)
