@@ -369,3 +369,65 @@ class TestSpeculation:
                                       ref_tree.assignments)
         assert stats.nmf_count == ref_stats.nmf_count
         assert stats.iter_count == ref_stats.iter_count
+
+
+class TestPrefetchPool:
+    """Direct unit coverage for the background fetch pool (otherwise
+    only exercised incidentally through speculation)."""
+
+    def test_take_returns_fetched_value(self):
+        from smallk_tpu.engines.hierclust import _PrefetchPool
+
+        pool = _PrefetchPool()
+        try:
+            t1 = pool.submit(np.arange(5.0))
+            t2 = pool.submit(np.arange(3.0) * 2)
+            np.testing.assert_array_equal(pool.take(t2),
+                                          np.arange(3.0) * 2)
+            np.testing.assert_array_equal(pool.take(t1), np.arange(5.0))
+        finally:
+            pool.close()
+
+    def test_drop_before_and_after_fetch(self):
+        import time
+
+        from smallk_tpu.engines.hierclust import _PrefetchPool
+
+        pool = _PrefetchPool()
+        try:
+            t1 = pool.submit(np.ones(4))
+            pool.take(t1)  # force the worker past t1
+            t2 = pool.submit(np.ones(2))
+            time.sleep(0.05)  # t2 result has landed
+            pool.drop(t2)
+            assert t2 not in pool._out
+            # drop-while-queued: block the worker with a slow fetch
+            class Slow:
+                def __array__(self, dtype=None, copy=None):
+                    time.sleep(0.2)
+                    return np.zeros(1)
+
+            t3 = pool.submit(Slow())
+            t4 = pool.submit(np.full(2, 7.0))
+            pool.drop(t4)  # cancelled while still queued behind t3
+            t5 = pool.submit(np.full(2, 9.0))
+            np.testing.assert_array_equal(pool.take(t5), np.full(2, 9.0))
+            assert t4 not in pool._out
+            pool.drop(t3)
+        finally:
+            pool.close()
+
+    def test_exception_surfaces_on_take(self):
+        from smallk_tpu.engines.hierclust import _PrefetchPool
+
+        class Boom:
+            def __array__(self, dtype=None, copy=None):
+                raise RuntimeError("device fell over")
+
+        pool = _PrefetchPool()
+        try:
+            tok = pool.submit(Boom())
+            with pytest.raises(RuntimeError, match="device fell over"):
+                pool.take(tok)
+        finally:
+            pool.close()
