@@ -74,14 +74,18 @@ def _build_buckets(indptr, indices, data, minor_dim, min_len=8,
     return inv, out
 
 
-# Docs per row-bucket block for very wide matrices.  The AH' product
-# gathers rows of the (n, k) H-transpose table; measured on v5e
-# (scripts/tpu_batch18.py), the segmented gather-product runs at
-# ~176-199 GB/s when the table is <= ~34 MB but collapses to ~46 GB/s
-# once it exceeds ~100 MB (locality, not fusion — identical nnz count).
-# Partitioning the docs into 64k-wide blocks keeps every gather inside
-# a small table slice (at k=128 f32: 33 MB) and recovers the fast rate
-# at the cost of one (m, k) partial-sum per block.
+# Minor-dim entries per bucket block for very large matrices.  Each
+# product gathers rows of a dense-factor table — (n, k) H-transpose for
+# AH', (m, k) W for W'A; measured on v5e (scripts/tpu_batch18.py), the
+# segmented gather-product runs at ~176-199 GB/s when the table is
+# <= ~34 MB but collapses to ~46 GB/s once it exceeds ~100 MB (locality,
+# not fusion — identical nnz count).  Partitioning the minor dim into
+# 64k-wide blocks keeps every gather inside a small table slice (at
+# k=128 f32: 33 MB) and recovers the fast rate at the cost of one
+# partial-sum per block.  The doc side matters for wide term-doc
+# corpora (1M docs); the term side for tall vocabularies and for graph
+# clustering where A is a node x node adjacency (m = n = millions,
+# BASELINE config 5).
 _DOC_BLOCK = 65536
 
 
@@ -89,38 +93,44 @@ _DOC_BLOCK = 65536
 class EllAOp:
     """Sparse operand in dual bucketed-ELL form (by columns and by rows).
 
-    For matrices wider than 2x `_DOC_BLOCK` docs the row-major family is
-    built PER DOC BLOCK (`row_blocks`): mm_nt then gathers each block's
-    nonzeros from only that block's H-transpose slice and accumulates
-    the (m, k) partials — the TPU-native counterpart of the reference's
+    Past 2x `_DOC_BLOCK` on either axis, that axis's bucket family is
+    built PER MINOR BLOCK (`row_blocks` over doc ranges for AH',
+    `col_blocks` over term ranges for W'A): the product gathers each
+    block's nonzeros from only that block's table slice and accumulates
+    the partials — the TPU-native counterpart of the reference's
     cache-blocked sparse GEMM threading (sparse_gemm_ab_impl.hpp)."""
 
     def __init__(self, shape, col_inv, col_buckets, row_inv, row_buckets,
-                 row_blocks=None, row_block_size=0):
+                 row_blocks=None, row_block_size=0,
+                 col_blocks=None, col_block_size=0):
         self._shape = tuple(int(s) for s in shape)
-        self.col_inv = col_inv          # (n,) inverse permutation
+        self.col_inv = col_inv          # (n,) — None when term-blocked
         self.col_buckets = col_buckets  # list of (idx(g,L), vals(g,L))
         self.row_inv = row_inv          # (m,) — None when doc-blocked
         self.row_buckets = row_buckets
         self.row_blocks = row_blocks    # list of (inv(m,), buckets) or None
         self.row_block_size = int(row_block_size)
+        self.col_blocks = col_blocks    # list of (inv(n,), buckets) or None
+        self.col_block_size = int(col_block_size)
 
     @classmethod
     def from_scipy(cls, A, dtype=jnp.float32, min_len=8, pad_multiple=1,
-                   doc_block="auto"):
+                   doc_block="auto", term_block="auto"):
         """`pad_multiple`: pad bucket majors to this multiple (set to the
         mesh axis size, or its lcm, for sharded runs — see
-        parallel.mesh.shard_operand).  `doc_block`: docs per row-bucket
-        block ("auto": `_DOC_BLOCK` when n >= 2x that, else monolithic;
-        None/0 forces monolithic)."""
+        parallel.mesh.shard_operand).  `doc_block` / `term_block`: minor
+        entries per block for the row/col bucket families ("auto":
+        `_DOC_BLOCK` when that axis has >= 2x that many entries, else
+        monolithic; None/0 forces monolithic)."""
         csc = A.tocsc()
         csc.sort_indices()
+        csr = A.tocsr()
+        csr.sort_indices()
         m, n = csc.shape
-        col_inv, cb = _build_buckets(
-            csc.indptr, csc.indices, csc.data, m, min_len, pad_multiple
-        )
         if doc_block == "auto":
             doc_block = _DOC_BLOCK if n >= 2 * _DOC_BLOCK else 0
+        if term_block == "auto":
+            term_block = _DOC_BLOCK if m >= 2 * _DOC_BLOCK else 0
 
         def dev(bkts):
             return [
@@ -128,36 +138,47 @@ class EllAOp:
                 for (_ids, idx, vals) in bkts
             ]
 
-        row_inv = row_bk = blocks = None
-        if doc_block:
+        def build_family(major_cs, minor_cs, minor_dim, block):
+            """(inv, buckets, blocks): the major-axis bucket family,
+            monolithic or split into minor-dim blocks.  `major_cs` is
+            the compressed-sparse form whose slices are the major axis
+            (CSC for columns, CSR for rows); `minor_cs` the transpose
+            form, whose cheap indptr-arithmetic slicing along the minor
+            axis feeds the per-block rebuild."""
+            if not block:
+                inv, bk = _build_buckets(
+                    major_cs.indptr, major_cs.indices, major_cs.data,
+                    minor_dim, min_len, pad_multiple,
+                )
+                return jnp.asarray(inv), dev(bk), None
             blocks = []
-            for b0 in range(0, n, int(doc_block)):
-                b1 = min(n, b0 + int(doc_block))
-                # CSC column slices are indptr arithmetic (O(nnz_block));
-                # per-slab tocsr gives block-local column indices
-                slab = csc[:, b0:b1].tocsr()
+            for b0 in range(0, minor_dim, int(block)):
+                b1 = min(minor_dim, b0 + int(block))
+                if minor_cs.format == "csc":
+                    slab = minor_cs[:, b0:b1].tocsr()
+                else:
+                    slab = minor_cs[b0:b1, :].tocsc()
                 slab.sort_indices()
-                inv_b, rb_b = _build_buckets(
+                inv_b, bk_b = _build_buckets(
                     slab.indptr, slab.indices, slab.data, b1 - b0,
                     min_len, pad_multiple,
                 )
-                blocks.append((jnp.asarray(inv_b), dev(rb_b)))
-        else:
-            csr = A.tocsr()
-            csr.sort_indices()
-            row_inv, rb = _build_buckets(
-                csr.indptr, csr.indices, csr.data, n, min_len, pad_multiple
-            )
-            row_inv, row_bk = jnp.asarray(row_inv), dev(rb)
+                blocks.append((jnp.asarray(inv_b), dev(bk_b)))
+            return None, None, blocks
+
+        col_inv, cb, col_blocks = build_family(csc, csr, m, term_block)
+        row_inv, rb, row_blocks = build_family(csr, csc, n, doc_block)
 
         return cls(
             (m, n),
-            jnp.asarray(col_inv),
-            dev(cb),
+            col_inv,
+            cb,
             row_inv,
-            row_bk,
-            row_blocks=blocks,
+            rb,
+            row_blocks=row_blocks,
             row_block_size=int(doc_block or 0),
+            col_blocks=col_blocks,
+            col_block_size=int(term_block or 0),
         )
 
     @property
@@ -168,6 +189,8 @@ class EllAOp:
     def dtype(self):
         if self.col_buckets:
             return self.col_buckets[0][1].dtype
+        if self.col_blocks:
+            return self.col_blocks[0][1][0][1].dtype
         return jnp.float32
 
     # memory budget for one gathered (g, L, k) block; larger buckets are
@@ -226,12 +249,31 @@ class EllAOp:
         stacked = jnp.concatenate(pieces, axis=0)
         return jnp.take(stacked, inv, axis=0)
 
+    def _acc_dtype(self, table):
+        """f32/f64 accumulator dtype for blocked partials (matches the
+        einsum preferred_element_type so cross-block sums round once)."""
+        if jnp.dtype(self.dtype) == jnp.float64:
+            return jnp.float64
+        return jnp.float32
+
     def mm_tn(self, W):
         """W^T A -> (k, n): per column j, sum of vals * W[row]."""
-        table = jnp.concatenate(
-            [W, jnp.zeros((1, W.shape[1]), W.dtype)], axis=0
-        )
-        return self._product(self.col_buckets, self.col_inv, table).T
+        zero = jnp.zeros((1, W.shape[1]), W.dtype)
+        if self.col_blocks is None:
+            table = jnp.concatenate([W, zero], axis=0)
+            return self._product(self.col_buckets, self.col_inv, table).T
+        # term-blocked: gather each block's nonzeros from only its slice
+        # of the W table, accumulate the (n, k) partials, round once
+        acc = self._acc_dtype(W)
+        out = None
+        b0 = 0
+        for inv_b, cb_b in self.col_blocks:
+            b1 = min(b0 + self.col_block_size, self._shape[0])
+            tab = jnp.concatenate([W[b0:b1], zero], axis=0)
+            part = self._product(cb_b, inv_b, tab, out_dtype=acc)
+            out = part if out is None else out + part
+            b0 = b1
+        return out.astype(self.dtype).T
 
     def mm_nt(self, H):
         """A H^T -> (m, k): per row i, sum of vals * H[:, col]."""
@@ -248,7 +290,7 @@ class EllAOp:
         # path rather than one per block.
         HT = H.T
         zero = jnp.zeros((1, H.shape[0]), H.dtype)
-        acc = _pet(self.col_buckets[0][1]) if self.col_buckets else HT.dtype
+        acc = self._acc_dtype(HT)
         out = None
         b0 = 0
         for inv_b, rb_b in self.row_blocks:
@@ -263,50 +305,61 @@ class EllAOp:
         ones = jnp.ones((self._shape[0], 1), self.dtype)
         return self.mm_tn(ones)[0, :]
 
+    @staticmethod
+    def _flatten_family(inv, buckets, blocks):
+        """(children list, aux): aux is an int bucket count for a
+        monolithic family or a tuple of per-block bucket counts."""
+        if blocks is None:
+            return [inv] + [t for pair in buckets for t in pair], \
+                len(buckets)
+        out, counts = [], []
+        for inv_b, bk_b in blocks:
+            out.append(inv_b)
+            out.extend(t for pair in bk_b for t in pair)
+            counts.append(len(bk_b))
+        return out, tuple(counts)
+
+    @staticmethod
+    def _unflatten_family(rest, off, aux):
+        """Inverse of _flatten_family from children[off:].  Returns
+        (inv, buckets, blocks, new offset)."""
+        if isinstance(aux, int):
+            inv = rest[off]
+            off += 1
+            bk = [(rest[off + 2 * i], rest[off + 2 * i + 1])
+                  for i in range(aux)]
+            return inv, bk, None, off + 2 * aux
+        blocks = []
+        for cnt in aux:
+            inv_b = rest[off]
+            off += 1
+            bk_b = [(rest[off + 2 * i], rest[off + 2 * i + 1])
+                    for i in range(cnt)]
+            off += 2 * cnt
+            blocks.append((inv_b, bk_b))
+        return None, None, blocks, off
+
     def tree_flatten(self):
-        flat_cols = [t for pair in self.col_buckets for t in pair]
-        if self.row_blocks is None:
-            flat_rows = [t for pair in self.row_buckets for t in pair]
-            children = (self.col_inv, self.row_inv, *flat_cols, *flat_rows)
-            aux = (self._shape, len(self.col_buckets),
-                   len(self.row_buckets), None, 0)
-            return children, aux
-        flat_blocks, counts = [], []
-        for inv_b, rb_b in self.row_blocks:
-            flat_blocks.append(inv_b)
-            flat_blocks.extend(t for pair in rb_b for t in pair)
-            counts.append(len(rb_b))
-        children = (self.col_inv, *flat_cols, *flat_blocks)
-        aux = (self._shape, len(self.col_buckets), 0, tuple(counts),
-               self.row_block_size)
+        col_kids, col_aux = self._flatten_family(
+            self.col_inv, self.col_buckets, self.col_blocks
+        )
+        row_kids, row_aux = self._flatten_family(
+            self.row_inv, self.row_buckets, self.row_blocks
+        )
+        children = (*col_kids, *row_kids)
+        aux = (self._shape, col_aux, row_aux,
+               self.col_block_size, self.row_block_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        shape, n_cb, n_rb, block_counts, block_size = aux
-        if block_counts is None:
-            col_inv, row_inv = children[0], children[1]
-            rest = children[2:]
-            cb = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_cb)]
-            off = 2 * n_cb
-            rb = [
-                (rest[off + 2 * i], rest[off + 2 * i + 1])
-                for i in range(n_rb)
-            ]
-            return cls(shape, col_inv, cb, row_inv, rb)
-        col_inv = children[0]
-        rest = children[1:]
-        cb = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_cb)]
-        off = 2 * n_cb
-        blocks = []
-        for cnt in block_counts:
-            inv_b = rest[off]
-            off += 1
-            rb_b = [
-                (rest[off + 2 * i], rest[off + 2 * i + 1])
-                for i in range(cnt)
-            ]
-            off += 2 * cnt
-            blocks.append((inv_b, rb_b))
-        return cls(shape, col_inv, cb, None, None,
-                   row_blocks=blocks, row_block_size=block_size)
+        shape, col_aux, row_aux, col_bs, row_bs = aux
+        col_inv, cb, col_blocks, off = cls._unflatten_family(
+            children, 0, col_aux
+        )
+        row_inv, rb, row_blocks, _ = cls._unflatten_family(
+            children, off, row_aux
+        )
+        return cls(shape, col_inv, cb, row_inv, rb,
+                   row_blocks=row_blocks, row_block_size=row_bs,
+                   col_blocks=col_blocks, col_block_size=col_bs)

@@ -114,25 +114,27 @@ def shard_operand(a_op, mesh: Mesh):
         # the inverse permutations are small (one int per row/col) and are
         # consumed by a cross-bucket take: keep them replicated
         rep = NamedSharding(mesh, P())
-        if a_op.row_blocks is not None:
-            blocks = [
-                (jax.device_put(inv_b, rep), put_buckets(rb_b, t, nt))
-                for inv_b, rb_b in a_op.row_blocks
-            ]
-            return EllAOp(
-                a_op.shape,
-                jax.device_put(a_op.col_inv, rep),
-                put_buckets(a_op.col_buckets, d, nd),
-                None, None,
-                row_blocks=blocks,
-                row_block_size=a_op.row_block_size,
-            )
+
+        def put_family(inv, buckets, blocks, axis_name, size):
+            if blocks is None:
+                return (jax.device_put(inv, rep),
+                        put_buckets(buckets, axis_name, size), None)
+            return (None, None, [
+                (jax.device_put(inv_b, rep),
+                 put_buckets(bk_b, axis_name, size))
+                for inv_b, bk_b in blocks
+            ])
+
+        col_inv, cb, col_blocks = put_family(
+            a_op.col_inv, a_op.col_buckets, a_op.col_blocks, d, nd
+        )
+        row_inv, rb, row_blocks = put_family(
+            a_op.row_inv, a_op.row_buckets, a_op.row_blocks, t, nt
+        )
         return EllAOp(
-            a_op.shape,
-            jax.device_put(a_op.col_inv, rep),
-            put_buckets(a_op.col_buckets, d, nd),
-            jax.device_put(a_op.row_inv, rep),
-            put_buckets(a_op.row_buckets, t, nt),
+            a_op.shape, col_inv, cb, row_inv, rb,
+            row_blocks=row_blocks, row_block_size=a_op.row_block_size,
+            col_blocks=col_blocks, col_block_size=a_op.col_block_size,
         )
     raise TypeError(f"unknown operand type {type(a_op)}")
 

@@ -157,19 +157,29 @@ def test_embeddings_save_load(tmp_path):
     )
 
 
-@pytest.mark.parametrize("doc_block", [64, 100, 1024])
-def test_ell_doc_blocked_matches_dense(doc_block):
-    """Doc-blocked row buckets (the wide-matrix AH' locality fix,
-    scripts/tpu_batch18.py): blocked mm_nt == dense, col side untouched,
-    and the operand still round-trips as a jit argument pytree."""
+@pytest.mark.parametrize("doc_block,term_block", [(64, 0), (100, 0),
+                                                  (1024, 0), (0, 32),
+                                                  (64, 32)])
+def test_ell_blocked_matches_dense(doc_block, term_block):
+    """Minor-blocked bucket families (the large-matrix gather-locality
+    fix, scripts/tpu_batch18.py): blocked mm_nt/mm_tn == dense in every
+    doc/term blocking combination, and the operand still round-trips as
+    a jit argument pytree."""
     import jax
 
     A, W, H = _random_problem(70, 300, 5, 0.05, seed=9)
     Wd, Hd = jnp.asarray(W), jnp.asarray(H)
     dense = DenseAOp(jnp.asarray(A.toarray()))
-    ell = EllAOp.from_scipy(A, dtype=DTYPE, doc_block=doc_block)
-    assert ell.row_blocks is not None
-    assert len(ell.row_blocks) == -(-300 // doc_block)
+    ell = EllAOp.from_scipy(A, dtype=DTYPE, doc_block=doc_block,
+                            term_block=term_block)
+    if doc_block:
+        assert len(ell.row_blocks) == -(-300 // doc_block)
+    else:
+        assert ell.row_blocks is None
+    if term_block:
+        assert len(ell.col_blocks) == -(-70 // term_block)
+    else:
+        assert ell.col_blocks is None
 
     np.testing.assert_allclose(
         np.asarray(ell.mm_nt(Hd)), np.asarray(dense.mm_nt(Hd)),
@@ -185,6 +195,11 @@ def test_ell_doc_blocked_matches_dense(doc_block):
     out = jax.jit(lambda op, h: op.mm_nt(h))(ell, Hd)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(dense.mm_nt(Hd)),
+        rtol=1e-10, atol=1e-12,
+    )
+    out = jax.jit(lambda op, w: op.mm_tn(w))(ell, Wd)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(dense.mm_tn(Wd)),
         rtol=1e-10, atol=1e-12,
     )
 
@@ -208,7 +223,7 @@ def test_ell_doc_blocked_shards():
     A, W, H = _random_problem(60, 240, 4, 0.06, seed=4)
     Wd, Hd = jnp.asarray(W), jnp.asarray(H)
     dense = DenseAOp(jnp.asarray(A.toarray()))
-    ell = EllAOp.from_scipy(A, dtype=DTYPE, doc_block=64,
+    ell = EllAOp.from_scipy(A, dtype=DTYPE, doc_block=64, term_block=16,
                             pad_multiple=n_dev)
     mesh = make_mesh((1, n_dev))
     sharded = shard_operand(ell, mesh)
