@@ -258,7 +258,7 @@ class _PrefetchPool:
     instantly.  Results are bit-identical to a synchronous np.asarray —
     only the schedule changes.  Worker exceptions surface on take()."""
 
-    def __init__(self):
+    def __init__(self, workers=2):
         import queue
 
         self._q = queue.Queue()
@@ -266,14 +266,21 @@ class _PrefetchPool:
         self._dropped = set()
         self._cv = threading.Condition()
         self._next_token = 0
-        self._thread = None
+        # one worker serializes round trips at ~26 ms/result — the same
+        # rate the main thread would pay; SPEC_DEPTH concurrent workers
+        # let the in-flight fetches' round trips overlap each other
+        self._workers = workers
+        self._threads = []
 
     def submit(self, arr):
-        if self._thread is None:
-            self._thread = threading.Thread(
-                target=self._run, name="smallk-prefetch", daemon=True
-            )
-            self._thread.start()
+        if not self._threads:
+            for w in range(self._workers):
+                th = threading.Thread(
+                    target=self._run, name=f"smallk-prefetch-{w}",
+                    daemon=True,
+                )
+                th.start()
+                self._threads.append(th)
         tok = self._next_token
         self._next_token += 1
         self._q.put((tok, arr))
@@ -319,9 +326,9 @@ class _PrefetchPool:
                 self._dropped.add(tok)
 
     def close(self):
-        if self._thread is not None:
+        for _ in self._threads:
             self._q.put(None)
-            self._thread = None
+        self._threads = []
 
 
 class _Rank2Runner:
@@ -502,7 +509,7 @@ class _Rank2Runner:
         token = None
         if SPEC_PREFETCH:
             if self._pool is None:
-                self._pool = _PrefetchPool()
+                self._pool = _PrefetchPool(workers=max(2, SPEC_DEPTH))
             token = self._pool.submit(inflight[2])  # packed vector
         self._spec.append((node, state, inflight, token))
         return True

@@ -393,7 +393,7 @@ class TestPrefetchPool:
 
         from smallk_tpu.engines.hierclust import _PrefetchPool
 
-        pool = _PrefetchPool()
+        pool = _PrefetchPool(workers=1)  # one worker so t4 stays queued
         try:
             t1 = pool.submit(np.ones(4))
             pool.take(t1)  # force the worker past t1
