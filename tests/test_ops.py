@@ -101,7 +101,9 @@ def test_as_aop_densify_scatter_matches():
     )
 
 
-def test_ell_in_solver():
+@pytest.mark.parametrize("blocks", [dict(doc_block=0, term_block=0),
+                                    dict(doc_block=16, term_block=16)])
+def test_ell_in_solver(blocks):
     from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
     from smallk_tpu.common.rng import Random, random_matrix
     from smallk_tpu.solvers.solve import nmf_solve
@@ -114,7 +116,7 @@ def test_ell_in_solver():
         min_iter=2, max_iter=50, verbose=False, dtype="float64",
     )
     ref = nmf_solve(DenseAOp(jnp.asarray(A.toarray())), W0, H0, opts)
-    out = nmf_solve(EllAOp.from_scipy(A, DTYPE), W0, H0, opts)
+    out = nmf_solve(EllAOp.from_scipy(A, DTYPE, **blocks), W0, H0, opts)
     assert int(out.iterations) == int(ref.iterations)
     np.testing.assert_allclose(np.asarray(out.W), np.asarray(ref.W),
                                rtol=1e-8, atol=1e-10)
