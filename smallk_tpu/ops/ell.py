@@ -221,7 +221,10 @@ class EllAOp:
         if g_total * L * k * elem <= cls._GATHER_BYTES_BUDGET:
             return block(idx, vals)
 
-        chunk = max(256, cls._GATHER_BYTES_BUDGET // (L * k * elem))
+        # no large floor here: with very long bucket rows (high-degree
+        # graph nodes, L ~ 64k+) even a few rows exhaust the budget, and
+        # a 256-row floor would materialize multi-GB gathers
+        chunk = max(1, cls._GATHER_BYTES_BUDGET // (L * k * elem))
         chunk = min(chunk, g_total)
         pad = (-g_total) % chunk
         idx_p = jnp.pad(idx, ((0, pad), (0, 0)),

@@ -90,7 +90,6 @@ def step(a_op, W, H, state: HalsState):
     AHt = a_op.mm_nt(H)
     gradW = gemm(W, HHt) - AHt
 
-    ok = jnp.logical_not(
-        jnp.any(jnp.isnan(gradW)) | jnp.any(jnp.isnan(gradH))
-    )
+    # isfinite, not just not-NaN: f32 overflow yields Inf without NaN
+    ok = jnp.all(jnp.isfinite(gradW)) & jnp.all(jnp.isfinite(gradH))
     return W, H, gradW, gradH, HalsState(HHt=HHt, AHt=AHt), ok

@@ -48,7 +48,6 @@ def step(a_op, W, H, state: MuState):
     gradW = gemm(W, HHt) - AHt
     gradH = gemm(WtW, H) - WtA
 
-    ok = jnp.logical_not(
-        jnp.any(jnp.isnan(gradW)) | jnp.any(jnp.isnan(gradH))
-    )
+    # isfinite, not just not-NaN: f32 overflow yields Inf without NaN
+    ok = jnp.all(jnp.isfinite(gradW)) & jnp.all(jnp.isfinite(gradH))
     return W, H, gradW, gradH, MuState(WtW=WtW, WtA=WtA), ok

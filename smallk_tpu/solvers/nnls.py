@@ -29,12 +29,15 @@ from ..ops.dense import _PRECISION, gemm, zeroize_small
 PBAR = 3
 
 # Masked-solve backend:
-#   "auto"   (default) — rank/backend dispatch: low ranks use the XLA
-#            unrolled GJ (fuses into the pivot while_loop); high ranks on
-#            TPU f32 use the VMEM-resident Pallas GJ kernel
-#            (solvers/pallas_kernels.py) whose HBM traffic is O(k n)
-#            instead of the XLA formulation's O(k^2 n) per elimination
-#            pass; high ranks elsewhere use compact-passive XLA solves.
+#   "auto"   (default) — on TPU f32, EVERY rank whose scratch fits VMEM
+#            uses the VMEM-resident Pallas GJ kernel
+#            (solvers/pallas_kernels.py; measured winner at k=8..128,
+#            scripts/tpu_batch10/11) whose HBM traffic is O(k n) instead
+#            of the XLA formulation's O(k^2 n) per elimination pass.
+#            Elsewhere (CPU, f64, or VMEM-overflowing ranks): k below
+#            _COMPACT_MIN_K uses the XLA unrolled GJ (fuses into the
+#            pivot while_loop), k at or above it the compact-passive
+#            XLA solve.
 #   "xla"    — never use the Pallas kernel.
 #   "pallas" — force the Pallas kernel at every rank.
 MASKED_SOLVER = "auto"
@@ -48,10 +51,22 @@ def set_masked_solver(name: str) -> None:
 
 
 def _pallas_ok(dtype) -> bool:
-    import jax
-
+    # allowlist, not a cpu-denylist: the kernel uses pltpu memory spaces
+    # and would fail to lower on e.g. a GPU backend
     return (jnp.dtype(dtype) == jnp.float32
-            and jax.default_backend() not in ("cpu",))
+            and jax.default_backend() in ("tpu", "axon"))
+
+
+def _pallas_fits(k: int) -> bool:
+    """Does the kernel's VMEM scratch fit at the smallest legal tile?
+
+    Mirrors pallas_kernels._pick_tile's model at its tile floor of 128
+    lanes (Mosaic lane constraint): M scratch (k, k, 128) f32 plus the
+    row-chunk and ~8 live (k, 128) temps, against a conservative 12 MB
+    of the 16 MB scoped-VMEM cap.  k=128 models at 11.1 MB (validated on
+    hardware); anything larger falls back to the XLA compact path
+    instead of dying in Mosaic compilation."""
+    return (k * k + 40 * k) * 128 * 4 <= 12 * 1024 * 1024
 
 
 def _masked_solve(LHS, RHS, passive):
@@ -121,7 +136,8 @@ def _masked_cholesky_solve(LHS, RHS, passive):
     """
     k, n = RHS.shape
     elem = jnp.dtype(LHS.dtype).itemsize
-    if MASKED_SOLVER == "auto" and _pallas_ok(LHS.dtype):
+    if (MASKED_SOLVER == "auto" and _pallas_ok(LHS.dtype)
+            and _pallas_fits(k)):
         # VMEM-resident kernel at EVERY rank (was k >= _COMPACT_MIN_K
         # only): the full-k elimination never touches HBM between pivots.
         # Measured BPP end-to-end, v5e reuters shape, within-process
@@ -132,12 +148,11 @@ def _masked_cholesky_solve(LHS, RHS, passive):
         from .pallas_kernels import masked_gj_solve_pallas
 
         return masked_gj_solve_pallas(LHS, RHS, passive)
-    if k >= _COMPACT_MIN_K:
-        block = _compact_solve_block
-    elif k <= _GJ_MAX_K:
-        block = _gj_solve_block
-    else:
-        block = _chol_solve_block
+    # _COMPACT_MIN_K (48) <= _GJ_MAX_K (64), so the dispatch is two-way;
+    # _chol_solve_block stays reachable via the width-reduced pivot path
+    # and the compact path's overflow escalation
+    block = (_compact_solve_block if k >= _COMPACT_MIN_K
+             else _gj_solve_block)
     if k * (k + 1) * n * elem <= _GJ_BYTES_BUDGET:
         return block(LHS, RHS, passive)
 
@@ -332,7 +347,6 @@ def nnls_blockpivot(LHS, RHS, Xinit):
     # anything above -delta as nonnegative; values are never altered, and
     # the final X is clamped at 0 (projection error <= delta_x).  For f64
     # the deltas collapse to ~1e-12, reproducing reference behavior.
-    scale_rhs = jnp.maximum(1.0, jnp.max(jnp.abs(RHS)))
     abs_lhs = jnp.abs(LHS)
     abs_rhs = jnp.abs(RHS)
 
@@ -485,11 +499,17 @@ def nnls_blockpivot(LHS, RHS, Xinit):
     )
 
     converged = jnp.logical_not(jnp.any(not_good > 0))
-    no_nan = jnp.logical_not(jnp.any(jnp.isnan(X)) | jnp.any(jnp.isnan(Y)))
+    # isfinite, not just not-NaN: an f32 overflow in an ill-conditioned
+    # masked solve yields +/-Inf with no NaN and must fail the attempt
+    finite = jnp.all(jnp.isfinite(X)) & jnp.all(jnp.isfinite(Y))
     # project tiny tolerated negatives onto the constraint set
     X = jnp.maximum(X, 0.0)
-    X = zeroize_small(X, 8.0 * eps * scale_rhs)
-    return X, Y, converged & no_nan
+    # zeroize dust relative to the SOLUTION's magnitude — scaling by the
+    # RHS would wipe O(1) solutions whenever RHS ~ |A|^2 is large
+    # (unnormalized count matrices); the reference's absolute 1e-12
+    # (nnls.hpp) is the f64 special case of this
+    X = zeroize_small(X, 8.0 * eps * jnp.maximum(1.0, jnp.max(X)))
+    return X, Y, converged & finite
 
 
 def nnls_hals(a_op, W, H, tol, max_iter):

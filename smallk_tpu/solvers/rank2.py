@@ -17,8 +17,10 @@ cheaper than a branch on device).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.dense import gemm, gram, gram_t, normalize_and_scale
@@ -173,15 +175,9 @@ def step(a_op, W, H, state: Rank2State):
     gradH = gemm(WtW, H) - WtA
 
     ok = ok_h & ok_w & norms_ok
-    ok = ok & jnp.logical_not(
-        jnp.any(jnp.isnan(gradW)) | jnp.any(jnp.isnan(gradH))
-    )
+    # isfinite, not just not-NaN: f32 overflow yields Inf without NaN
+    ok = ok & jnp.all(jnp.isfinite(gradW)) & jnp.all(jnp.isfinite(gradH))
     return W, H, gradW, gradH, Rank2State(WtW=WtW, WtA=WtA), ok
-
-
-import functools
-
-import jax
 
 
 @functools.partial(jax.jit, static_argnames=("power_iters",))
@@ -207,8 +203,6 @@ def spectral_init_rank2(a_op, v0, power_iters: int = 6):
     operand must be zero here and stay zero throughout).
     Returns (W0 (m, 2), H0 (2, n)), both nonnegative.
     """
-    import jax
-
     dtype = v0.dtype
     eps = jnp.finfo(dtype).eps
 
