@@ -569,3 +569,22 @@ class TestWidthReducedPivot:
                                    atol=1e-9)
         X, Y = np.asarray(X1), np.asarray(Y1)
         assert (X >= 0).all() and np.abs(X * Y).max() < 1e-6
+
+
+def test_nonfinite_inputs_fail_not_succeed():
+    """Failure gates must catch Inf, not just NaN (an f32 overflow
+    yields +/-Inf with no NaN): a solve fed non-finite data reports
+    failure instead of returning success with Inf factors."""
+    import jax.numpy as jnp
+
+    from smallk_tpu.solvers.nnls import nnls_blockpivot
+
+    k, n = 4, 12
+    rng = np.random.RandomState(0)
+    B = rng.rand(k, 3 * k)
+    LHS = jnp.asarray(B @ B.T + 0.1 * np.eye(k))
+    RHS = np.asarray(B @ rng.rand(3 * k, n))
+    RHS[1, 3] = np.inf
+    _, _, ok = nnls_blockpivot(LHS, jnp.asarray(RHS),
+                               jnp.asarray(rng.rand(k, n)))
+    assert not bool(ok)
