@@ -89,6 +89,45 @@ def main():
     print(f"serial dispatch+fetch x{D}:    {dt/D*1e3:.1f} ms/step",
           flush=True)
 
+    # 4) background fetcher THREAD: does a blocking np.asarray in a
+    # worker overlap the main thread's dispatches + fetches?  (If the
+    # tunnel releases the GIL during transfers, a depth-1 speculation
+    # pipeline plus one fetcher thread removes the per-split RTT.)
+    import queue
+    import threading
+
+    inq, outq = queue.Queue(), queue.Queue()
+
+    def fetcher():
+        while True:
+            item = inq.get()
+            if item is None:
+                return
+            key, arr = item
+            outq.put((key, np.asarray(arr)))
+
+    th = threading.Thread(target=fetcher, daemon=True)
+    th.start()
+    t = time.perf_counter()
+    prev = None
+    got = 0
+    for i in range(D):
+        cur = work(x, 60.0 + i)
+        inq.put((i, cur))
+        # main thread does ~3 ms of fake host work per step
+        time.sleep(0.003)
+        while not outq.empty():
+            outq.get()
+            got += 1
+    while got < D:
+        outq.get()
+        got += 1
+    dt = time.perf_counter() - t
+    print(f"threaded dispatch+fetch x{D}:  {dt/D*1e3:.1f} ms/step",
+          flush=True)
+    inq.put(None)
+    th.join(timeout=5)
+
 
 try:
     main()

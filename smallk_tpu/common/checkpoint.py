@@ -25,6 +25,21 @@ from .rng import Random
 FORMAT_VERSION = 1
 
 
+def atomic_savez(path: str, payload: dict, suffix=".ckpt.tmp") -> None:
+    """Write an .npz atomically: tempfile in the target dir + rename, so
+    a preemption mid-write never leaves a torn checkpoint behind."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=suffix)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 def _options_fingerprint(opts: NmfOptions) -> str:
     d = dataclasses.asdict(opts)
     for key, val in d.items():
@@ -56,17 +71,7 @@ def save_nmf_checkpoint(
         payload["rng_state"] = np.frombuffer(
             pickle.dumps(rng.get_state()), dtype=np.uint8
         )
-
-    d = os.path.dirname(os.path.abspath(path)) or "."
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(f, **payload)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    atomic_savez(path, payload)
 
 
 def load_nmf_checkpoint(path: str, opts: NmfOptions | None = None):

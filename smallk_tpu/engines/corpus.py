@@ -146,8 +146,6 @@ def planted_partition_graph(
     bench.py (NMI metric) and scripts/tpu_smoke.py (pass threshold) so
     the two always measure the same graph family.
     """
-    import scipy.sparse as sp
-
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, n_communities, nodes)
     rows, cols = [], []

@@ -786,20 +786,25 @@ def _speculate_next(tree, runner, W_buffer, L_buffer):
 
 def _save_hier_checkpoint(path, tree, W_buffer, L_buffer, rng, stats,
                           i_next, root_W=None, root_left=None,
-                          rng_state=None):
+                          rng_state=None, config=None, init_counter=1):
     """Atomic npz checkpoint of the full hierclust state (SURVEY §5.4:
     'checkpoint = (W, H, iteration, RNG key, tree state)' — new scope
     beyond the reference, which has no checkpointing).  Device buffers
-    are fetched on demand here; the hot loop never does."""
-    import os
+    are fetched on demand here; the hot loop never does.  `config` is
+    the (num_clusters, m, n) fingerprint a resume must match;
+    `init_counter` preserves initdir file-consumption order."""
     import pickle
-    import tempfile
+
+    from ..common.checkpoint import atomic_savez
 
     payload = dict(tree.to_arrays())
     payload["i_next"] = np.int64(i_next)
     payload["nmf_count"] = np.int64(stats.nmf_count)
     payload["max_count"] = np.int64(stats.max_count)
     payload["iter_count"] = np.int64(stats.iter_count)
+    payload["init_counter"] = np.int64(init_counter)
+    if config is not None:
+        payload["config"] = np.asarray(config, dtype=np.int64)
     payload["rng_state"] = np.frombuffer(
         pickle.dumps(rng_state if rng_state is not None
                      else rng.get_state()),
@@ -812,25 +817,30 @@ def _save_hier_checkpoint(path, tree, W_buffer, L_buffer, rng, stats,
     if root_W is not None:
         payload["root_W"] = np.asarray(root_W)
         payload["root_left"] = np.asarray(root_left, dtype=bool)
-
-    d = os.path.dirname(os.path.abspath(path)) or "."
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".hckpt.tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(f, **payload)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    atomic_savez(path, payload, suffix=".hckpt.tmp")
 
 
-def _load_hier_checkpoint(path, node_count):
+def _load_hier_checkpoint(path, node_count, config=None):
     import pickle
 
     with np.load(path, allow_pickle=False) as z:
         arrs = {k: z[k] for k in z.files}
     tree = Tree.from_arrays(arrs)
+    if config is not None and "config" in arrs:
+        saved = tuple(int(v) for v in arrs["config"])
+        if saved != tuple(int(v) for v in config):
+            raise ValueError(
+                f"hierclust checkpoint at {path} was written for "
+                f"(num_clusters, m, n)={saved}, but this run is "
+                f"{tuple(int(v) for v in config)}"
+            )
+    elif len(tree.nodes) != node_count:
+        # legacy checkpoint without a config record: the tree size at
+        # least must match, or buffer indexing corrupts silently
+        raise ValueError(
+            f"hierclust checkpoint at {path} has {len(tree.nodes)} tree "
+            f"nodes, but this run needs {node_count}"
+        )
     W_buffer = [None] * node_count
     L_buffer = [None] * node_count
     for idx in range(node_count):
@@ -850,7 +860,8 @@ def _load_hier_checkpoint(path, node_count):
     root = (arrs.get("root_W"), root_left)
     return (tree, W_buffer, L_buffer, rng_state, int(arrs["i_next"]),
             int(arrs["nmf_count"]), int(arrs["max_count"]),
-            int(arrs.get("iter_count", 0)), root)
+            int(arrs.get("iter_count", 0)), root,
+            int(arrs.get("init_counter", 1)))
 
 
 def clust_hier(A, opts: ClustOptions, rng: Random,
@@ -897,16 +908,18 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
 
     W = left = None
     start_i = 0
+    ckpt_config = (num_clusters, m, n)
     if checkpoint_path and os.path.exists(checkpoint_path):
         (tree, W_buffer, L_buffer, rng_state, start_i,
          stats.nmf_count, stats.max_count, stats.iter_count,
-         root) = _load_hier_checkpoint(checkpoint_path, node_count)
+         root, inits.counter) = _load_hier_checkpoint(
+            checkpoint_path, node_count, config=ckpt_config)
         rng.set_state(rng_state)
         if start_i == 0:
             W, left = root
     else:
         tree = Tree()
-        tree.init(num_clusters, node_count, m, n)
+        tree.init(num_clusters, m, n)
 
         # factor the root (<= 3 attempts)
         ns = runner.solve(None)
@@ -922,7 +935,8 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
         if checkpoint_path:
             _save_hier_checkpoint(
                 checkpoint_path, tree, W_buffer, L_buffer, rng, stats, 0,
-                root_W=W, root_left=left,
+                root_W=W, root_left=left, config=ckpt_config,
+                init_counter=inits.counter,
             )
 
     split_index = 0
@@ -987,6 +1001,7 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                 _save_hier_checkpoint(
                     checkpoint_path, tree, W_buffer, L_buffer, rng, stats,
                     i + 1, rng_state=runner.spec_rng_state(),
+                    config=ckpt_config, init_counter=inits.counter,
                 )
             if _interrupt_after is not None and (i + 1) >= _interrupt_after:
                 raise KeyboardInterrupt(

@@ -121,8 +121,11 @@ class Tree:
         self.outliers: np.ndarray = np.empty(0, dtype=np.int64)
         self.assignments: np.ndarray = np.empty(0, dtype=np.int64)
 
-    def init(self, num_clusters: int, node_count: int, term_count: int,
+    def init(self, num_clusters: int, term_count: int,
              doc_count: int) -> None:
+        """Allocate the flat node array: 2*(num_clusters-1) nodes, two
+        per split (reference Tree::Init, tree.hpp:92-109)."""
+        node_count = 2 * (num_clusters - 1)
         self.total_docs = doc_count
         self.term_count = term_count
         self.nodes = [TreeNode() for _ in range(node_count)]

@@ -50,10 +50,13 @@ def load_matrix_market(filename: str, dtype=np.float64) -> sp.csc_matrix:
         banner = f.readline().decode("ascii", errors="replace")
         fmt, field, symmetry = _parse_banner(banner)
 
-        # skip comments
+        # skip comments; readline() returns b"" at EOF, which must stop
+        # the loop (a truncated file would otherwise spin forever)
         line = f.readline()
-        while line.startswith(b"%") or not line.strip():
+        while line and (line.startswith(b"%") or not line.strip()):
             line = f.readline()
+        if not line:
+            raise MatrixMarketError("unexpected EOF before size line")
 
         size_parts = line.split()
         if fmt == "coordinate":
@@ -87,6 +90,25 @@ def load_matrix_market(filename: str, dtype=np.float64) -> sp.csc_matrix:
                 raise MatrixMarketError("bad array size line")
             m, n = (int(p) for p in size_parts)
             data = np.loadtxt(f, dtype=np.float64).reshape(-1)
+            if symmetry in ("symmetric", "skew-symmetric"):
+                # spec: only the lower triangle (column-major) is stored
+                want = m * (m + 1) // 2 if symmetry == "symmetric" \
+                    else m * (m - 1) // 2
+                if m != n or data.size != want:
+                    raise MatrixMarketError("array body size mismatch")
+                dense = np.zeros((m, n), dtype=np.float64)
+                tri = (np.tril_indices(m) if symmetry == "symmetric"
+                       else np.tril_indices(m, -1))
+                # column-major triangle order == row-major of the upper
+                # triangle of the transpose; fill via sorted (col, row)
+                order = np.lexsort((tri[0], tri[1]))
+                dense[tri[0][order], tri[1][order]] = data
+                dense = dense + dense.T * (
+                    -1.0 if symmetry == "skew-symmetric" else 1.0
+                )
+                if symmetry == "symmetric":
+                    dense[np.diag_indices(m)] /= 2.0
+                return sp.csc_matrix(dense.astype(dtype))
             if data.size != m * n:
                 raise MatrixMarketError("array body size mismatch")
             dense = data.reshape((n, m)).T.astype(dtype)

@@ -431,3 +431,45 @@ class TestPrefetchPool:
                 pool.take(tok)
         finally:
             pool.close()
+
+
+class TestCheckpointGuards:
+    def test_mismatched_config_rejected(self, tmp_path):
+        """Resuming with a different cluster count (or shape) must fail
+        loudly instead of corrupting buffer indexing."""
+        A, _ = _planted_matrix(k=5, n=100)
+        ck = str(tmp_path / "h.npz")
+        with pytest.raises(KeyboardInterrupt):
+            clust_hier(A, _clust_opts(5), Random(13), checkpoint_path=ck,
+                       _interrupt_after=2)
+        with pytest.raises(ValueError, match="num_clusters"):
+            clust_hier(A, _clust_opts(4), Random(13), checkpoint_path=ck)
+
+    def test_initdir_resume_preserves_file_order(self, tmp_path):
+        """With initdir, the resumed run must continue from the NEXT
+        unconsumed Winit/Hinit file, not restart at _1 (the consumption
+        counter is checkpointed)."""
+        import dataclasses
+
+        from smallk_tpu.io.delimited import write_delimited
+
+        A, _ = _planted_matrix(m=30, n=40, k=3)
+        rng = np.random.RandomState(0)
+        ini = tmp_path / "inits"
+        ini.mkdir()
+        for i in range(1, 12):
+            write_delimited(str(ini / f"Winit_{i}.csv"),
+                            rng.rand(30, 2), 15)
+            write_delimited(str(ini / f"Hinit_{i}.csv"),
+                            rng.rand(2, 40), 15)
+        opts = dataclasses.replace(_clust_opts(4), initdir=str(ini))
+
+        ref_tree, _ = clust_hier(A, opts, Random(1))
+
+        ck = str(tmp_path / "h.npz")
+        with pytest.raises(KeyboardInterrupt):
+            clust_hier(A, opts, Random(1), checkpoint_path=ck,
+                       _interrupt_after=1)
+        tree, _ = clust_hier(A, opts, Random(1), checkpoint_path=ck)
+        np.testing.assert_array_equal(tree.assignments,
+                                      ref_tree.assignments)

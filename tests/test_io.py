@@ -148,3 +148,45 @@ def test_mtx_duplicate_entries_summed(tmp_path):
         f.write("2 2 3\n1 1 1.5\n1 1 2.5\n2 2 1.0\n")
     B = load_matrix_market(path).toarray()
     np.testing.assert_allclose(B, [[4.0, 0], [0, 1.0]])
+
+
+class TestMtxEdgeCases2:
+    def test_truncated_file_raises(self, tmp_path):
+        """A file ending inside the comment block must raise, not hang
+        (readline() returns b'' at EOF forever)."""
+        from smallk_tpu.io.matrix_market import (
+            MatrixMarketError, load_matrix_market,
+        )
+
+        p = tmp_path / "trunc.mtx"
+        p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                     "% comment only\n")
+        with pytest.raises(MatrixMarketError, match="EOF"):
+            load_matrix_market(str(p))
+
+    def test_symmetric_array_format(self, tmp_path):
+        """Array-format symmetric files store only the column-major
+        lower triangle (MatrixMarket spec); the loader expands them."""
+        from smallk_tpu.io.matrix_market import load_matrix_market
+
+        A = np.array([[1.0, 2, 4], [2, 3, 5], [4, 5, 6]])
+        body = [A[0, 0], A[1, 0], A[2, 0], A[1, 1], A[2, 1], A[2, 2]]
+        p = tmp_path / "sym.mtx"
+        p.write_text("%%MatrixMarket matrix array real symmetric\n3 3\n"
+                     + "\n".join(str(v) for v in body) + "\n")
+        np.testing.assert_allclose(
+            load_matrix_market(str(p)).toarray(), A
+        )
+
+    def test_skew_symmetric_array_format(self, tmp_path):
+        from smallk_tpu.io.matrix_market import load_matrix_market
+
+        S = np.array([[0.0, -7, -8], [7, 0, -9], [8, 9, 0]])
+        p = tmp_path / "skew.mtx"
+        p.write_text(
+            "%%MatrixMarket matrix array real skew-symmetric\n3 3\n"
+            "7\n8\n9\n"
+        )
+        np.testing.assert_allclose(
+            load_matrix_market(str(p)).toarray(), S
+        )
