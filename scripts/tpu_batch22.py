@@ -50,6 +50,7 @@ def main():
         hc.clust_hier(A, copts, Random(1))  # compile
         base = None
         out = []
+        hc.SPEC_ADAPTIVE = False  # forced modes must not be size-capped
         for name, spec, depth, pf in modes:
             hc.SPECULATE, hc.SPEC_DEPTH, hc.SPEC_PREFETCH = spec, depth, pf
             best = np.inf

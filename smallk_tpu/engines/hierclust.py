@@ -110,9 +110,20 @@ PAIR_BATCHING = True
 # scripts/spec_hitrate{,2}.py).  Bit-identical to the sequential
 # schedule by construction — see the speculation block in _Rank2Runner.
 # Module knobs for benchmarking.
+#
+# Depth is adaptive on operand size (scripts/tpu_batch22 ablation):
+# deeper speculation wins only while the pair solves are cheap relative
+# to the ~26 ms tunnel round trip — 12411x7984 12c: d3 0.396 s vs d1
+# 0.426 s; 12411x15968 100 leaves: d3 1.85 s vs d1 2.39 s — and LOSES
+# once the device is the bottleneck, where mispredicted solves cost real
+# execution time (39727x11237 15c: d3 1.55 s vs d1 1.23 s).  Operands
+# above SPEC_DEVICE_BOUND elements therefore cap the stack at depth 1
+# (the depth-1 dispatch overlaps the in-flight fetch either way).
 SPECULATE = True
-SPEC_DEPTH = 2       # how many pops ahead to keep in flight
+SPEC_DEPTH = 3       # max pops ahead to keep in flight
 SPEC_PREFETCH = True  # background-thread fetch of speculative results
+SPEC_ADAPTIVE = True  # cap depth at 1 on device-bound operand sizes
+SPEC_DEVICE_BOUND = 3.0e8  # m*n elements above which solves dominate RTT
 
 
 class _NodeSolve(NamedTuple):
@@ -362,6 +373,10 @@ class _Rank2Runner:
         self._pool = None
         m, n = a_op.shape
         self.m, self.n = m, n
+        # effective speculation depth for THIS operand (see module knobs)
+        self.spec_depth = SPEC_DEPTH
+        if SPEC_ADAPTIVE and m * n >= SPEC_DEVICE_BOUND:
+            self.spec_depth = min(SPEC_DEPTH, 1)
         self._A_ext = None  # dense A with one trailing zero column
         if isinstance(a_op, DenseAOp) and mesh is None:
             # single-device fast path: per-node bucketed column gathers.
@@ -509,7 +524,7 @@ class _Rank2Runner:
         token = None
         if SPEC_PREFETCH:
             if self._pool is None:
-                self._pool = _PrefetchPool(workers=max(2, SPEC_DEPTH))
+                self._pool = _PrefetchPool(workers=max(2, self.spec_depth))
             token = self._pool.submit(inflight[2])  # packed vector
         self._spec.append((node, state, inflight, token))
         return True
@@ -759,7 +774,7 @@ def _speculate_next(tree, runner, W_buffer, L_buffer):
     # ties break toward the smaller node index, like the pop's scan
     # (min_max_leaf_priorities uses strict > while ascending)
     cand.sort()
-    preds = [q for _, q in cand[:SPEC_DEPTH]]
+    preds = [q for _, q in cand[:runner.spec_depth]]
 
     pending = runner.spec_nodes()
     keep = 0

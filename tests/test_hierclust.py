@@ -370,6 +370,42 @@ class TestSpeculation:
         assert stats.nmf_count == ref_stats.nmf_count
         assert stats.iter_count == ref_stats.iter_count
 
+    def test_adaptive_depth_caps_on_device_bound_operands(self, monkeypatch):
+        """Operands at/above SPEC_DEVICE_BOUND elements cap the speculation
+        stack at depth 1 (tpu_batch22: deeper speculation loses once the
+        pair solves dominate the fetch round trip), and the capped run
+        stays bit-identical to the sequential schedule."""
+        from smallk_tpu.engines import hierclust as hc
+
+        A, _ = self._big()
+        opts = _clust_opts(6)
+
+        monkeypatch.setattr(hc, "SPECULATE", False)
+        ref_tree, ref_stats = clust_hier(A, opts, Random(21))
+
+        monkeypatch.setattr(hc, "SPECULATE", True)
+        monkeypatch.setattr(hc, "SPEC_DEVICE_BOUND", A.size)  # force the cap
+        depth_seen = []
+        orig_init = hc._Rank2Runner.__init__
+
+        def spy(self, *a, **kw):
+            orig_init(self, *a, **kw)
+            depth_seen.append(self.spec_depth)
+
+        monkeypatch.setattr(hc._Rank2Runner, "__init__", spy)
+        tree, stats = clust_hier(A, opts, Random(21))
+        assert depth_seen == [1]
+
+        np.testing.assert_array_equal(tree.assignments,
+                                      ref_tree.assignments)
+        assert stats.nmf_count == ref_stats.nmf_count
+
+        # a small operand keeps the full stack depth
+        depth_seen.clear()
+        monkeypatch.setattr(hc, "SPEC_DEVICE_BOUND", A.size + 1)
+        clust_hier(A, opts, Random(21))
+        assert depth_seen == [hc.SPEC_DEPTH]
+
 
 class TestPrefetchPool:
     """Direct unit coverage for the background fetch pool (otherwise
