@@ -1,0 +1,90 @@
+"""Two-process jax.distributed CPU worker (driven by tests/test_parallel.py).
+
+Each process: force the CPU backend with 2 local virtual devices, join the
+coordinator, shard A over the 2x2 global (terms, docs) mesh via
+parallel.distributed.shard_host_matrix, run sharded_nmf_solve, and (on the
+coordinator) dump W/H to an npz for comparison with the single-process run.
+
+Usage: dist_worker.py <coordinator> <num_procs> <pid> <outfile>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+
+def main():
+    coord, nproc, pid, outfile = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+
+    from smallk_tpu.parallel import distributed, mesh
+
+    distributed.initialize_distributed(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+    assert distributed.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+    from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
+    from smallk_tpu.common.rng import Random, random_matrix
+
+    # identical inputs on every host (the data is host-replicated;
+    # shard_host_matrix places only each process's addressable shards)
+    m_, n_, k = 64, 96, 8
+    rng = Random(42)
+    A = random_matrix(m_, n_, rng, dtype=np.float64)
+    W0 = np.asarray(random_matrix(m_, k, rng, dtype=np.float64))
+    H0 = np.asarray(random_matrix(k, n_, rng, dtype=np.float64))
+
+    msh = mesh.make_mesh()  # all 4 global devices -> (terms, docs)
+    a_op = distributed.shard_host_matrix(A, msh, dtype=np.float64)
+
+    opts = NmfOptions(tol=1e-30, algorithm=NmfAlgorithm.BPP, height=m_,
+                      width=n_, k=k, min_iter=1, max_iter=30,
+                      verbose=False, dtype="float64")
+    import jax.numpy as jnp
+
+    W_s, H_s = mesh.shard_factors(jnp.asarray(W0), jnp.asarray(H0), msh)
+    from smallk_tpu.solvers.solve import nmf_solve
+
+    res = nmf_solve(a_op, W_s, H_s, opts)
+    ok = bool(res.success)
+
+    # Every process writes only its ADDRESSABLE shards (plus coverage
+    # masks); the test reassembles the global factors across the two
+    # files — this validates both the numerics and the placement.
+    Wg = np.zeros((m_, k))
+    Wcov = np.zeros((m_, k), dtype=bool)
+    for sh in res.W.addressable_shards:
+        Wg[sh.index] = np.asarray(sh.data)
+        Wcov[sh.index] = True
+    Hg = np.zeros((k, n_))
+    Hcov = np.zeros((k, n_), dtype=bool)
+    for sh in res.H.addressable_shards:
+        Hg[sh.index] = np.asarray(sh.data)
+        Hcov[sh.index] = True
+
+    np.savez(f"{outfile}.{pid}.npz", W=Wg, Wcov=Wcov, H=Hg, Hcov=Hcov,
+             ok=ok, iters=int(res.iterations))
+    print(f"[worker {pid}] done ok={ok}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,6 +50,8 @@ def main():
         hc.clust_hier(A, copts, Random(1))  # compile
         base = None
         out = []
+        saved = (hc.SPECULATE, hc.SPEC_DEPTH, hc.SPEC_PREFETCH,
+                 hc.SPEC_ADAPTIVE)
         hc.SPEC_ADAPTIVE = False  # forced modes must not be size-capped
         for name, spec, depth, pf in modes:
             hc.SPECULATE, hc.SPEC_DEPTH, hc.SPEC_PREFETCH = spec, depth, pf
@@ -65,7 +67,8 @@ def main():
             else:
                 same = np.array_equal(base, a)
             out.append(f"{name} {best:.3f}s{'' if same else ' DIFF!'}")
-        hc.SPECULATE, hc.SPEC_DEPTH, hc.SPEC_PREFETCH = True, 2, True
+        (hc.SPECULATE, hc.SPEC_DEPTH, hc.SPEC_PREFETCH,
+         hc.SPEC_ADAPTIVE) = saved
         print(f"{tag} ({st.nmf_count} solves): " + "  ".join(out),
               flush=True)
 

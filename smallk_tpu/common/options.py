@@ -160,6 +160,30 @@ class ClustOptions:
     #     data matters more than speed.  Retries and initdir runs always
     #     use the reference's random/file initializers.
     init_method: str = "random"
+    # Leaf-pop priority policy (extension beyond the reference, which
+    # always pops the max-NDCG leaf, clust_hier_generic.hpp:165-178):
+    #   "ndcg"      — reference behavior (default): pop the leaf whose
+    #     split scored the highest term-ranking NDCG.  Right for text,
+    #     where NDCG measures topic coherence.
+    #   "size_ndcg" — pop priority = NDCG * |docs|.  On graph adjacency
+    #     operands NDCG is near-noise (columns are not ranked term
+    #     vectors), and a pure-NDCG pop can starve a leaf holding half
+    #     the corpus while re-splitting tiny slivers (measured: NMI 0.12
+    #     on a planted-partition graph).  Size-scaling makes starvation
+    #     impossible while preserving NDCG's ordering among equal-size
+    #     leaves.  The outlier-drop gate (TrialSplit) still compares raw
+    #     NDCG values — only the pop order changes.
+    priority_method: str = "ndcg"
+    # Best-of-R node restarts (extension; the reference restarts only on
+    # hard solver FAILURE, clust_hier_generic.hpp:435-472).  When > 1,
+    # every node factorization runs `restarts` random initializations
+    # batched in one device program and keeps the one with the lowest
+    # rank-2 reconstruction objective.  Rank-2 NMF on spectrally
+    # degenerate operands (balanced community graphs) has many local
+    # optima whose split quality varies wildly between seeds; best-of-R
+    # turns the seed lottery into a max over R draws.  Costs R x device
+    # work per node; leave at 1 for text corpora.
+    restarts: int = 1
 
     def validate(self) -> None:
         """Mirrors reference ClustOptions::IsValid (hierclust/src/clust_options.cpp)."""
@@ -167,6 +191,12 @@ class ClustOptions:
             raise ValueError(
                 "clust: init_method must be 'spectral' or 'random'"
             )
+        if self.priority_method not in ("ndcg", "size_ndcg"):
+            raise ValueError(
+                "clust: priority_method must be 'ndcg' or 'size_ndcg'"
+            )
+        if self.restarts < 1:
+            raise ValueError("clust: restarts must be >= 1")
         if self.num_clusters < 2:
             raise ValueError("clust: number of clusters must be >= 2")
         if self.maxterms < 1:

@@ -117,7 +117,8 @@ PAIR_BATCHING = True
 # 0.426 s; 12411x15968 100 leaves: d3 1.85 s vs d1 2.39 s — and LOSES
 # once the device is the bottleneck, where mispredicted solves cost real
 # execution time (39727x11237 15c: d3 1.55 s vs d1 1.23 s).  Operands
-# above SPEC_DEVICE_BOUND elements therefore cap the stack at depth 1
+# at or above SPEC_DEVICE_BOUND elements therefore cap the stack at
+# depth 1
 # (the depth-1 dispatch overlaps the in-flight fetch either way).
 SPECULATE = True
 SPEC_DEPTH = 3       # max pops ahead to keep in flight
@@ -139,13 +140,41 @@ class _NodeSolve(NamedTuple):
     ok: bool
 
 
-def _solve_and_pack(op, valid, W0, H0, w_parent, opts, init):
-    """Shared fused-program tail: (optional spectral/parent start) +
-    solve loop + split labels + NDCG priority, packed for ONE small d2h
-    fetch.
+def _pack_node_result(W, H, success, iterations, valid, w_parent):
+    """Shared fused-program tail: split labels + NDCG priority, packed
+    for ONE small d2h fetch.
 
     Packed layout: [success, iterations, priority, left_0..left_{nb-1}].
     """
+    left = H[0, :] > H[1, :]
+    has0 = jnp.any(left & valid)
+    has1 = jnp.any((~left) & valid)
+    pr = compute_priority_device(w_parent, W)
+    pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
+    # split labels ride the packed fetch as BITS (32 cols per f32 lane,
+    # bitcast) — at bucket width 8192 that is a 1 KB fetch instead of
+    # 32 KB, which matters at ~12 MB/s host<->device bandwidth
+    pad = (-left.shape[0]) % 32
+    lp = jnp.pad(left, (0, pad)) if pad else left
+    bits = jnp.sum(
+        lp.reshape(-1, 32).astype(jnp.uint32)
+        << jnp.arange(32, dtype=jnp.uint32)[None, :],
+        axis=1, dtype=jnp.uint32,
+    )
+    packed = jnp.concatenate([
+        jnp.stack([
+            success.astype(jnp.float32),
+            iterations.astype(jnp.float32),
+            pr.astype(jnp.float32),
+        ]),
+        jax.lax.bitcast_convert_type(bits, jnp.float32),
+    ])
+    return W, H, packed
+
+
+def _solve_and_pack(op, valid, W0, H0, w_parent, opts, init):
+    """Single-start node solve: (optional spectral start) + solve loop +
+    packed tail."""
     from ..solvers.rank2 import spectral_init_rank2
 
     pg0 = None
@@ -166,31 +195,39 @@ def _solve_and_pack(op, valid, W0, H0, w_parent, opts, init):
         W0 = jnp.where(good, W0s, W0)
         H0 = jnp.where(good, H0s, H0)
     res = _nmf_solve_impl(op, W0, H0, opts, False, pg0)
-
-    left = res.H[0, :] > res.H[1, :]
-    has0 = jnp.any(left & valid)
-    has1 = jnp.any((~left) & valid)
-    pr = compute_priority_device(w_parent, res.W)
-    pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
-    # split labels ride the packed fetch as BITS (32 cols per f32 lane,
-    # bitcast) — at bucket width 8192 that is a 1 KB fetch instead of
-    # 32 KB, which matters at ~12 MB/s host<->device bandwidth
-    pad = (-left.shape[0]) % 32
-    lp = jnp.pad(left, (0, pad)) if pad else left
-    bits = jnp.sum(
-        lp.reshape(-1, 32).astype(jnp.uint32)
-        << jnp.arange(32, dtype=jnp.uint32)[None, :],
-        axis=1, dtype=jnp.uint32,
+    return _pack_node_result(
+        res.W, res.H, res.success, res.iterations, valid, w_parent
     )
-    packed = jnp.concatenate([
-        jnp.stack([
-            res.success.astype(jnp.float32),
-            res.iterations.astype(jnp.float32),
-            pr.astype(jnp.float32),
-        ]),
-        jax.lax.bitcast_convert_type(bits, jnp.float32),
-    ])
-    return res.W, res.H, packed
+
+
+def _solve_best_of(op, valid, W0s, H0s, w_parent, opts):
+    """Best-of-R node solve (ClustOptions.restarts > 1): all R random
+    starts run as ONE vmapped solve program; the restart with the lowest
+    rank-2 reconstruction objective wins.
+
+    The objective is ||A_sub - WH||_F^2 up to the constant ||A_sub||^2
+    (identical across restarts):  tr((W'W)(HH')) - 2 <W'A, H>.  One extra
+    W'A product per restart — negligible next to the solve loop.  Failed
+    restarts score +inf; the node fails only if every restart fails
+    (then the reference's retry ladder takes over on the host).
+    """
+    res = jax.vmap(
+        lambda w0, h0: _nmf_solve_impl(op, w0, h0, opts, False, None)
+    )(W0s, H0s)
+
+    def objective(W, H, ok):
+        WtW = jnp.matmul(W.T, W)
+        HHt = jnp.matmul(H, H.T)
+        WtA = op.mm_tn(W)
+        s = jnp.sum(WtW * HHt) - 2.0 * jnp.sum(WtA * H)
+        return jnp.where(ok, s, jnp.asarray(jnp.inf, s.dtype))
+
+    scores = jax.vmap(objective)(res.W, res.H, res.success)
+    best = jnp.argmin(scores)  # ties -> lowest restart index
+    return _pack_node_result(
+        res.W[best], res.H[best], jnp.any(res.success),
+        res.iterations[best], valid, w_parent,
+    )
 
 
 def _unpack_left(ph_row: np.ndarray, count: int) -> np.ndarray:
@@ -201,47 +238,61 @@ def _unpack_left(ph_row: np.ndarray, count: int) -> np.ndarray:
     return bits[:count].astype(bool)
 
 
-def _gather_body(A_ext, idx, seed, w_parent, n_full, opts, init, fdtype):
+def _gather_body(A_ext, idx, seed, w_parent, n_full, opts, init, fdtype,
+                 restarts=1):
     m = A_ext.shape[0]
     cols = jnp.take(A_ext, idx, axis=1)  # pad idx == n_full -> zero column
     op = DenseAOp(cols)
     valid = idx < n_full
-    kW, kH = jax.random.split(jax.random.PRNGKey(seed))
-    W0 = jax.random.uniform(kW, (m, 2), fdtype)
+
     # H is drawn at FULL width then gathered so the gather and mask paths
     # see identical initializer values on the subset columns (this is what
     # makes sharded-mesh trees equal single-device trees)
-    Hf = jax.random.uniform(kH, (2, n_full), fdtype)
-    H0 = jnp.take(Hf, idx, axis=1, mode="fill", fill_value=0)
-    return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
+    def draw(key):
+        kW, kH = jax.random.split(key)
+        W0 = jax.random.uniform(kW, (m, 2), fdtype)
+        Hf = jax.random.uniform(kH, (2, n_full), fdtype)
+        H0 = jnp.take(Hf, idx, axis=1, mode="fill", fill_value=0)
+        return W0, H0
+
+    root = jax.random.PRNGKey(seed)
+    if restarts == 1:
+        W0, H0 = draw(root)
+        return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
+    W0s, H0s = jax.vmap(draw)(jax.random.split(root, restarts))
+    return _solve_best_of(op, valid, W0s, H0s, w_parent, opts)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_full", "opts", "init", "fdtype")
+    jax.jit, static_argnames=("n_full", "opts", "init", "fdtype",
+                              "restarts")
 )
 def _fused_gather_solve(A_ext, idx, seed, w_parent, n_full, opts, init,
-                        fdtype):
+                        fdtype, restarts=1):
     return _gather_body(A_ext, idx, seed, w_parent, n_full, opts, init,
-                        fdtype)
+                        fdtype, restarts)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_full", "opts", "init", "fdtype")
+    jax.jit, static_argnames=("n_full", "opts", "init", "fdtype",
+                              "restarts")
 )
 def _fused_gather_pair(A_ext, idx2, seeds2, W_parent, n_full, opts,
-                       init, fdtype):
+                       init, fdtype, restarts=1):
     """Batched sibling solve.  `W_parent` is the parent node's (m, 2)
     factor buffer — column i is child i's parent topic vector — passed
     as ONE resident device array so the host never slices/stacks it."""
     return jax.vmap(
         lambda idx, seed, wp: _gather_body(
-            A_ext, idx, seed, wp, n_full, opts, init, fdtype
+            A_ext, idx, seed, wp, n_full, opts, init, fdtype, restarts
         )
     )(idx2, seeds2, W_parent.T)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "init", "fdtype"))
-def _fused_masked_solve(a_op, idx, seed, w_parent, opts, init, fdtype):
+@functools.partial(jax.jit, static_argnames=("opts", "init", "fdtype",
+                                             "restarts"))
+def _fused_masked_solve(a_op, idx, seed, w_parent, opts, init, fdtype,
+                        restarts=1):
     """Full-shape node solve: idx scatters a column mask (None == full A).
     Used for the root, wide subsets, sparse operands, and mesh runs (the
     mask's sharding follows A's via GSPMD, SURVEY §5.8)."""
@@ -253,10 +304,18 @@ def _fused_masked_solve(a_op, idx, seed, w_parent, opts, init, fdtype):
         mask = jnp.zeros((n,), a_op.dtype).at[idx].set(1, mode="drop")
         valid = jnp.zeros((n,), jnp.bool_).at[idx].set(True, mode="drop")
         op = MaskedAOp(a_op, mask)
-    kW, kH = jax.random.split(jax.random.PRNGKey(seed))
-    W0 = jax.random.uniform(kW, (m, 2), fdtype)
-    H0 = jax.random.uniform(kH, (2, n), fdtype)
-    return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
+
+    def draw(key):
+        kW, kH = jax.random.split(key)
+        return (jax.random.uniform(kW, (m, 2), fdtype),
+                jax.random.uniform(kH, (2, n), fdtype))
+
+    root = jax.random.PRNGKey(seed)
+    if restarts == 1:
+        W0, H0 = draw(root)
+        return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
+    W0s, H0s = jax.vmap(draw)(jax.random.split(root, restarts))
+    return _solve_best_of(op, valid, W0s, H0s, w_parent, opts)
 
 
 class _PrefetchPool:
@@ -359,14 +418,20 @@ class _Rank2Runner:
     """
 
     def __init__(self, a_op, opts: ClustOptions, inits: _InitializerSource,
-                 stats: ClustStats, dtype, mesh=None):
+                 stats: ClustStats, dtype, mesh=None, host_A=None):
         self.a_op = a_op
         self.opts = opts
         self.inits = inits
         self.stats = stats
         self.dtype = dtype
         self.mesh = mesh
+        # host-side A (scipy/ndarray), initdir runs only: provides each
+        # subset's row support for the reference's compacted-W0 semantics
+        self.host_A = host_A
         self.init = opts.init_method
+        # best-of-R restarts (ClustOptions.restarts); initdir runs are
+        # pinned to the reference's one-start-per-file semantics
+        self.restarts = 1 if inits.initdir else max(1, opts.restarts)
         # speculation stack: (node, pre-draw rng state, in-flight pair,
         # prefetch token), ordered by seed-draw time
         self._spec = []
@@ -436,7 +501,7 @@ class _Rank2Runner:
         W_, H_, packed = _fused_gather_pair(
             self._A_ext, idx, seeds, jnp.asarray(W_parent, self.dtype),
             n_full=self.n, opts=self.opts.nmf_opts, init=self.init,
-            fdtype=self.dtype,
+            fdtype=self.dtype, restarts=self.restarts,
         )
         return (W_, H_, packed, subsets, W_parent)
 
@@ -496,7 +561,8 @@ class _Rank2Runner:
     # that already have final priorities: 90-100% one pop ahead and
     # 87-99% two ahead (scripts/spec_hitrate{,2}.py) — a freshly split
     # pair almost never outranks the best existing leaves.  So the loop
-    # keeps a stack of SPEC_DEPTH predicted pops' pair solves in flight,
+    # keeps a stack of runner.spec_depth predicted pops' pair solves in
+    # flight (SPEC_DEPTH capped to 1 on device-bound operand sizes),
     # and a background thread (_PrefetchPool) starts each speculative
     # result's device->host transfer at dispatch time: by the time a
     # prediction is consumed, both its execution and its ~26 ms fetch
@@ -597,6 +663,7 @@ class _Rank2Runner:
                 W_, H_, packed = _fused_masked_solve(
                     self.a_op, None, seed, wp,
                     opts=nmf_opts, init=init, fdtype=self.dtype,
+                    restarts=self.restarts,
                 )
                 count, sel = self.n, slice(None)
             else:
@@ -605,7 +672,7 @@ class _Rank2Runner:
                     W_, H_, packed = _fused_gather_solve(
                         self._A_ext, self._padded_idx(subset, n_b), seed,
                         wp, n_full=self.n, opts=nmf_opts, init=init,
-                        fdtype=self.dtype,
+                        fdtype=self.dtype, restarts=self.restarts,
                     )
                     count, sel = n_b, slice(0, len(subset))
                 else:
@@ -615,6 +682,7 @@ class _Rank2Runner:
                     W_, H_, packed = _fused_masked_solve(
                         self.a_op, self._padded_idx(subset, n_b), seed, wp,
                         opts=nmf_opts, init=init, fdtype=self.dtype,
+                        restarts=self.restarts,
                     )
                     count, sel = self.n, np.asarray(subset)
             ph = np.asarray(packed)
@@ -628,9 +696,29 @@ class _Rank2Runner:
 
     def _solve_hostinit(self, subset, w_parent, max_attempts):
         """initdir parity path: host-loaded initializers, host priority
-        (f64 reference transcription), sequential file consumption."""
+        (f64 reference transcription), sequential file consumption.
+
+        The reference extracts a row-COMPACTED W initializer per node
+        (ActualSplit -> ExtractSubmatrices via new_to_old_rows,
+        clust_hier_generic.hpp:440-452): rows of A[:, subset] with no
+        nonzeros contribute nothing to the compacted solve.  The
+        full-shape equivalent is zeroing W0 at those rows — W'W/W'A then
+        match the compacted Grams exactly, and the rank-2 W update keeps
+        off-support rows at exact zero (AH' rows are zero), so the whole
+        trajectory equals the reference's compact solve scattered back."""
         nmf_opts = self.opts.nmf_opts
         bucket = None
+        row_support = None
+        if subset is not None and self.host_A is not None:
+            import scipy.sparse as sp
+
+            sub = self.host_A[:, np.asarray(subset)]
+            if sp.issparse(sub):
+                nz_rows = np.unique(sub.tocoo().row)
+                row_support = np.zeros(self.m, dtype=bool)
+                row_support[nz_rows] = True
+            else:
+                row_support = np.any(np.asarray(sub) != 0, axis=1)
         if subset is None:
             a_op = self.a_op
         else:
@@ -647,6 +735,8 @@ class _Rank2Runner:
 
         for attempt in range(max_attempts):
             W0, H0 = self.inits.next()
+            if row_support is not None and not row_support.all():
+                W0 = np.where(row_support[:, None], W0, 0.0)
             if bucket is not None:
                 H0b = np.zeros((2, bucket), dtype=H0.dtype)
                 H0b[:, : len(subset)] = H0[:, subset]
@@ -756,7 +846,8 @@ def _trial_split(runner: _Rank2Runner, subset, min_priority, w_parent,
 
 
 def _speculate_next(tree, runner, W_buffer, L_buffer):
-    """Keep the next SPEC_DEPTH predicted pops' pair solves in flight
+    """Keep the next runner.spec_depth predicted pops' pair solves in
+    flight
     (see the speculation block in _Rank2Runner).  Predictions are the
     top-priority leaves whose priorities are already final — everything
     but the two children the current in-flight solve is about to score.
@@ -766,7 +857,7 @@ def _speculate_next(tree, runner, W_buffer, L_buffer):
         runner.cancel_spec_from(0)
         return
     cand = [
-        (-tree.nodes[q].priority, q)
+        (-tree.nodes[q].pop_priority, q)
         for q, leaf in enumerate(tree.is_leaf)
         if leaf and q != tree.index0 and q != tree.index1
         and tree.nodes[q].priority > 0
@@ -919,7 +1010,16 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     node_count = 2 * (num_clusters - 1)
 
     inits = _InitializerSource(m, n, rng, opts.initdir, dtype=np.float64)
-    runner = _Rank2Runner(a_op, opts, inits, stats, dtype, mesh=mesh)
+    host_A = None
+    if opts.initdir:
+        import scipy.sparse as sp
+
+        if sp.issparse(A):
+            host_A = A.tocsc()
+        elif isinstance(A, np.ndarray):
+            host_A = A
+    runner = _Rank2Runner(a_op, opts, inits, stats, dtype, mesh=mesh,
+                          host_A=host_A)
 
     W = left = None
     start_i = 0
@@ -1003,7 +1103,13 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                     first=None if pair is None else pair[slot],
                 )
                 tree.nodes[idx].docs = subset  # TrialSplit may drop outliers
-                tree.set_node_priority(idx, priority)
+                # pop order: raw NDCG (reference) or size-scaled NDCG
+                # (graph workloads — a leaf holding half the corpus must
+                # not be starved by sliver splits with higher NDCG)
+                pop = priority
+                if opts.priority_method == "size_ndcg" and priority > 0:
+                    pop = priority * len(subset)
+                tree.set_node_priority(idx, priority, pop)
                 W_buffer[idx] = W_c
                 L_buffer[idx] = left_c
 

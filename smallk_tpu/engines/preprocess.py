@@ -40,6 +40,22 @@ class PreprocessResult:
     doc_indices: np.ndarray        # surviving col -> original col index
 
 
+def term_occurrence_histogram(M: sp.csc_matrix):
+    """Per-term statistics over the nonzeros (reference
+    TermOccurrenceHistogram, preprocess.cpp:253-276).
+
+    Returns (histogram, histogram_nz):
+      histogram[r]    — sum of counts for term r across all documents
+      histogram_nz[r] — number of documents containing term r (the
+                        document frequency feeding the idf score,
+                        preprocess.cpp:191-197)
+    """
+    m = M.shape[0]
+    histogram = np.bincount(M.indices, weights=M.data, minlength=m)
+    histogram_nz = np.bincount(M.indices, minlength=m)
+    return histogram.astype(np.int64), histogram_nz.astype(np.int64)
+
+
 def _unique_col_mask(M: sp.csc_matrix) -> np.ndarray:
     """Boolean mask of surviving columns after duplicate removal.
 
@@ -153,12 +169,12 @@ def preprocess_tf(
         return _finish_tfidf(M, term_indices, doc_indices)
 
     it = 0
+    if verbose:
+        print("\nStarting iterations...")
     while it < max_iter:
         # --- PruneRows -----------------------------------------------------
         width = M.shape[1]
-        counts = np.bincount(M.indices, weights=M.data,
-                             minlength=M.shape[0])
-        df = np.bincount(M.indices, minlength=M.shape[0])
+        counts, df = term_occurrence_histogram(M)
         row_keep = (counts >= docs_per_term) & (df < width)
         if not row_keep.all():
             M = M[row_keep, :].tocsc()
@@ -194,14 +210,20 @@ def preprocess_tf(
         if not pruned_cols and not deduped:
             break
 
+    if verbose:
+        # reference end-of-loop summary (preprocess.cpp:179-185)
+        print("Iterations finished.")
+        print(f"\tNew height: {M.shape[0]}")
+        print(f"\tNew width: {M.shape[1]}")
+        print(f"\tNew nonzero count: {M.nnz}")
     return _finish_tfidf(M, term_indices, doc_indices)
 
 
 def _finish_tfidf(M, term_indices, doc_indices) -> PreprocessResult:
     """tf-idf scoring + column normalization (preprocess.cpp:193-230)."""
     height, width = M.shape
-    df = np.bincount(M.indices, minlength=height).astype(np.float64)
-    idf = np.log(width / df)
+    _, df = term_occurrence_histogram(M)
+    idf = np.log(width / df.astype(np.float64))
     scores = (1.0 + np.log(M.data.astype(np.float64))) * idf[M.indices]
 
     S = sp.csc_matrix((scores, M.indices.copy(), M.indptr.copy()),

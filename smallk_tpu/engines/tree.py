@@ -97,6 +97,11 @@ class TreeNode:
     """Reference: TreeNode (tree.hpp:32-53)."""
 
     priority: float = 0.0
+    # Pop-ordering key (== priority under the reference's "ndcg" policy;
+    # priority * |docs| under "size_ndcg" — see ClustOptions.priority_method).
+    # Gates that compare priorities against TrialSplit's min_priority always
+    # use the raw `priority`; only the argmax pop uses this.
+    pop_priority: float = 0.0
     parent_index: int = NONE
     left_child_index: int = NONE
     right_child_index: int = NONE
@@ -208,8 +213,11 @@ class Tree:
     # --- queries ----------------------------------------------------------
 
     def min_max_leaf_priorities(self):
-        """Returns (min_pos_priority, max_priority, max_priority_index).
-        Min considers only positive priorities (tree.hpp:193-219)."""
+        """Returns (min_pos_priority, max_pop_priority, max_index).
+        Min considers only positive RAW priorities (tree.hpp:193-219) —
+        it feeds TrialSplit's outlier gate, which compares NDCG values;
+        the argmax uses pop_priority (== priority unless a size-aware
+        pop policy is active)."""
         min_p = np.finfo(np.float64).max
         max_p = -np.finfo(np.float64).max
         max_idx = NONE
@@ -219,13 +227,18 @@ class Tree:
             p = self.nodes[q].priority
             if 0 < p < min_p:
                 min_p = p
-            if p > max_p:
-                max_p = p
+            pp = self.nodes[q].pop_priority
+            if pp > max_p:
+                max_p = pp
                 max_idx = q
         return min_p, max_p, max_idx
 
-    def set_node_priority(self, node_index: int, priority: float) -> None:
+    def set_node_priority(self, node_index: int, priority: float,
+                          pop_priority: float | None = None) -> None:
         self.nodes[node_index].priority = float(priority)
+        self.nodes[node_index].pop_priority = float(
+            priority if pop_priority is None else pop_priority
+        )
 
     def left_child_docs(self):
         return self.nodes[self.index0].docs
@@ -321,6 +334,9 @@ class Tree:
             "index1": np.int64(self.index1),
             "is_leaf": np.asarray(self.is_leaf, dtype=bool),
             "priority": np.array([n.priority for n in self.nodes]),
+            "pop_priority": np.array(
+                [n.pop_priority for n in self.nodes]
+            ),
             "parent": np.array([n.parent_index for n in self.nodes],
                                dtype=np.int64),
             "left": np.array([n.left_child_index for n in self.nodes],
@@ -379,6 +395,12 @@ class Tree:
         for q in range(nc):
             node = TreeNode(
                 priority=float(arrs["priority"][q]),
+                # legacy checkpoints predate pop_priority; under the only
+                # policy they could have run ("ndcg") pop == priority
+                pop_priority=float(
+                    arrs["pop_priority"][q] if "pop_priority" in arrs
+                    else arrs["priority"][q]
+                ),
                 parent_index=int(arrs["parent"][q]),
                 left_child_index=int(arrs["left"][q]),
                 right_child_index=int(arrs["right"][q]),

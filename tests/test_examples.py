@@ -35,6 +35,19 @@ def test_hierclust_inmem(capsys):
     assert "top terms per leaf:" in out
 
 
+def test_preprocessor_inmem(capsys):
+    _run_example("examples/drivers/preprocessor_inmem.py", [])
+    out = capsys.readouterr().out
+    assert "columns tf-idf unit-normalized: True" in out
+
+
+def test_flatclust_inmem(capsys):
+    _run_example("examples/drivers/flatclust_inmem.py", [])
+    out = capsys.readouterr().out
+    assert "clusters found:" in out
+    assert "top terms per cluster:" in out
+
+
 @pytest.mark.slow
 def test_smallk_example_synthetic(capsys):
     _run_example("examples/smallk_example.py", ["--synthetic"])

@@ -5,6 +5,8 @@ SURVEY.md §5.8) matches the single-device result bit-for-bit-ish and that
 all mesh shapes compile and execute.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -301,3 +303,74 @@ def test_hierclust_sharded_ell_operand():
     ell = EllAOp.from_scipy(Asp, dtype=jnp.float64, pad_multiple=4)
     out_tree, _ = clust_hier(ell, opts(), Random(7), mesh=mesh)
     np.testing.assert_array_equal(out_tree.assignments, ref_tree.assignments)
+
+
+def test_two_process_distributed_matches_single(tmp_path):
+    """REAL multi-process jax.distributed run (VERDICT r2 missing #2):
+    two CPU subprocesses with 2 local devices each join a coordinator,
+    shard A over the 2x2 global mesh via
+    parallel.distributed.shard_host_matrix, run sharded_nmf_solve, and
+    dump their addressable shards.  The reassembled global factors must
+    (a) fully cover both factor shapes across the two processes and
+    (b) equal the single-process solve on the same inputs."""
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "scripts", "dist_worker.py")
+
+    with socket.socket() as s:  # grab a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    out = str(tmp_path / "dist")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"127.0.0.1:{port}", "2", str(pid),
+             out],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-2000:]}"
+
+    # reassemble the global factors from the two processes' shards
+    m_, n_, k = 64, 96, 8
+    W = np.zeros((m_, k))
+    Wcov = np.zeros((m_, k), dtype=bool)
+    H = np.zeros((k, n_))
+    Hcov = np.zeros((k, n_), dtype=bool)
+    for pid in (0, 1):
+        with np.load(f"{out}.{pid}.npz") as z:
+            assert bool(z["ok"])
+            W[z["Wcov"]] = z["W"][z["Wcov"]]
+            H[z["Hcov"]] = z["H"][z["Hcov"]]
+            Wcov |= z["Wcov"]
+            Hcov |= z["Hcov"]
+    assert Wcov.all(), "W shards across processes do not cover the factor"
+    assert Hcov.all(), "H shards across processes do not cover the factor"
+
+    # single-process reference on identical inputs (dist_worker.py)
+    rng = Random(42)
+    A = random_matrix(64, 96, rng, dtype=np.float64)
+    W0 = jnp.asarray(random_matrix(64, k, rng, dtype=np.float64))
+    H0 = jnp.asarray(random_matrix(k, 96, rng, dtype=np.float64))
+    opts = NmfOptions(tol=1e-30, algorithm=NmfAlgorithm.BPP, height=64,
+                      width=96, k=k, min_iter=1, max_iter=30,
+                      verbose=False, dtype="float64")
+    ref = nmf_solve(DenseAOp(jnp.asarray(A)), W0, H0, opts)
+    np.testing.assert_allclose(W, np.asarray(ref.W), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(H, np.asarray(ref.H), rtol=1e-8, atol=1e-10)
