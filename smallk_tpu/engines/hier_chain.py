@@ -1,0 +1,499 @@
+"""Multi-split device chain for HierNMF2.
+
+Reference: the sequential tree loop in clust_hier_generic.hpp:77-238
+(pop max-priority leaf -> split -> factor both children, repeat).  The
+reference pays nothing for the host round trip per split; on TPU
+hardware reached through a high-latency link every per-split host sync
+costs a ~26 ms round trip (scripts/tpu_batch17.py), which floors the
+whole wall clock: speculation + prefetch (engines/hierclust.py) got a
+12-cluster reuters-shape run to 0.407 s, of which ~0.27 s is still
+per-split round-trip overhead.
+
+This module fuses S consecutive splits into ONE device program: a
+lax.scan whose step pops the max-priority leaf, partitions its docs,
+gathers both children's column subsets, runs the pair rank-2 solve, and
+commits labels/priorities — so the host pays one dispatch + one fetch
+per S splits instead of per split.
+
+Bit-parity with the sequential engine is by construction:
+  - the per-child solve body is the same draw + `_nmf_solve_impl` +
+    priority/gate computation the sequential fused pair program runs
+    (hierclust._gather_body/_solve_and_pack), at the same power-of-2
+    bucket width max(512, next_pow2(max(|left|, |right|)));
+  - initializer seeds come from the same host MT19937 stream, pre-drawn
+    per segment and rolled back to exactly the consumed count;
+  - the device pop (argmax over leaf pop-priorities, first-max
+    tie-break) matches Tree.min_max_leaf_priorities, and the host
+    replays every committed split through the ordinary Tree methods,
+    asserting the pop sequence matches.
+
+Anything off the common path BAILS to the sequential engine for one
+split, then the chain resumes: TrialSplit's unbalanced gate
+(clust_hier_generic.hpp:296-373), children with <= 3 docs, solver
+failure (singular system -> retry ladder), subsets too wide for the
+bucket eligibility rule, and pop-order mismatches.  The device
+unbalanced check is deliberately conservative (f32 margin): any
+borderline split bails so the host's f64 gate decides, which can cost a
+redundant redo but can never commit a split the reference would have
+trial-dropped.
+
+The chain is used only on the common fast path: dense A, random init,
+restarts == 1, "ndcg" pop policy, no initdir, no mesh, no checkpointing
+(checkpoint cadence is per split; chain mode would coarsen it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.aop import DenseAOp
+from ..solvers.solve import _nmf_solve_impl
+from .priority import compute_priority_device
+from .tree import SlabHolder, SlabPair
+
+# Module knobs (benchmarking / tests)
+CHAIN = True          # master switch for the multi-split chain
+CHAIN_SEG = 32        # splits per device program call
+CHAIN_MAX_WIDTH = 1 << 16  # widest bucket compiled into the chain; a
+#                            popped subset needing more bails to the
+#                            sequential engine (compile-size bound)
+
+_MIN_BUCKET = 512     # keep in sync with hierclust._MIN_BUCKET
+
+# Telemetry of the most recent clust_hier run (tests assert the chain
+# actually engaged; bench scripts report segment/bail counts).
+LAST_STATS = {"segments": 0, "committed": 0, "bails": 0, "resyncs": 0}
+
+
+def _widths(n: int):
+    """Bucket widths compiled into the chain program: the sequential
+    pair-eligibility rule (hierclust._pair_eligible) admits
+    max(512, next_pow2(max child)) strictly below n."""
+    out = []
+    w = _MIN_BUCKET
+    while w < n and w <= CHAIN_MAX_WIDTH:
+        out.append(w)
+        w <<= 1
+    return tuple(out)
+
+
+def _pack_bits_dev(left_full):
+    """(n,) bool -> (ceil(n/32),) uint32, LSB-first — the same layout as
+    hierclust._pack_node_result / _unpack_left."""
+    n = left_full.shape[0]
+    pad = (-n) % 32
+    lp = jnp.pad(left_full, (0, pad)) if pad else left_full
+    return jnp.sum(
+        lp.reshape(-1, 32).astype(jnp.uint32)
+        << jnp.arange(32, dtype=jnp.uint32)[None, :],
+        axis=1, dtype=jnp.uint32,
+    )
+
+
+def _unpack_bits_host(words: np.ndarray, count: int) -> np.ndarray:
+    bits = np.unpackbits(
+        np.ascontiguousarray(words, dtype=np.uint32).view(np.uint8),
+        bitorder="little",
+    )
+    return bits[:count].astype(bool)
+
+
+def _pack_bits_host(full: np.ndarray) -> np.ndarray:
+    pad = (-len(full)) % 32
+    if pad:
+        full = np.concatenate([full, np.zeros(pad, dtype=bool)])
+    return np.packbits(full, bitorder="little").view(np.uint32)
+
+
+def _child_solve(A_ext, idx, seed, wp, n_full, opts, fdtype):
+    """One child factorization at bucket width idx.shape[0].
+
+    Mirrors hierclust._gather_body (restarts=1, init="random") +
+    _solve_and_pack exactly — same threefry draw, same solve program,
+    same priority gates — but scatters the split labels back to full
+    doc width for the chain's partition bookkeeping."""
+    m = A_ext.shape[0]
+    cols = jnp.take(A_ext, idx, axis=1)
+    op = DenseAOp(cols)
+    valid = idx < n_full
+
+    key = jax.random.PRNGKey(seed)
+    kW, kH = jax.random.split(key)
+    W0 = jax.random.uniform(kW, (m, 2), fdtype)
+    Hf = jax.random.uniform(kH, (2, n_full), fdtype)
+    H0 = jnp.take(Hf, idx, axis=1, mode="fill", fill_value=0)
+
+    res = _nmf_solve_impl(op, W0, H0, opts, False, None)
+
+    left = res.H[0, :] > res.H[1, :]
+    has0 = jnp.any(left & valid)
+    has1 = jnp.any((~left) & valid)
+    pr = compute_priority_device(wp, res.W)
+    pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
+    left_full = jnp.zeros((n_full,), jnp.bool_).at[idx].set(
+        jnp.where(valid, left, False), mode="drop"
+    )
+    nl = jnp.sum(left & valid).astype(jnp.int32)
+    nr = jnp.sum((~left) & valid).astype(jnp.int32)
+    return (res.W, res.success, res.iterations.astype(jnp.int32),
+            pr.astype(jnp.float32), left_full, nl, nr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "fdtype", "unbalanced", "widths", "seg"),
+)
+def _chain_program(A_ext, seeds, i0, n_steps, last_split,
+                   assign, labels_w, W_slab, pri, pop, leaf,
+                   opts, fdtype, unbalanced, widths, seg):
+    """Run up to `n_steps` (<= seg) splits on device.
+
+    Step s handles split i = i0 + s: pop the max-pop-priority leaf
+    (done if the max is negative), partition its docs by its stored
+    labels into children 2i / 2i+1, pair-solve both children, commit
+    labels + priorities + W into the carry — or set the bail flag and
+    freeze (the host redoes that split sequentially).
+
+    Returns (carry', ys) where ys stacks one packed f32 row per step:
+    [stat, popped, succ0, succ1, iters0, iters1, pr0, pr1,
+     bitcast(left bits c0), bitcast(left bits c1)]
+    with stat 0=inactive, 1=committed, 2=bailed, 3=done(no positive
+    leaf priority).
+    """
+    m = A_ext.shape[0]
+    n = A_ext.shape[1] - 1
+    nw = (n + 31) // 32
+    nbr = len(widths)
+    d = jnp.arange(n, dtype=jnp.int32)
+    word_idx = d >> 5
+    bit_shift = (d & 31).astype(jnp.uint32)
+    widths_arr = jnp.asarray(widths, dtype=jnp.int32)
+    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+
+    def noop(_):
+        return (jnp.zeros((2, m, 2), fdtype),
+                jnp.zeros((2,), jnp.bool_),
+                jnp.zeros((2,), jnp.int32),
+                jnp.zeros((2,), jnp.float32),
+                jnp.zeros((2, n), jnp.bool_),
+                jnp.zeros((2,), jnp.int32),
+                jnp.zeros((2,), jnp.int32))
+
+    def step(carry, xs):
+        (assign, labels_w, W_slab, pri, pop, leaf,
+         committed, bailed, done) = carry
+        s, seed2 = xs
+        i = i0 + s
+        c0 = 2 * i
+        c1 = c0 + 1
+        active = (s < n_steps) & ~bailed & ~done & (i <= last_split)
+
+        # --- pop (Tree.min_max_leaf_priorities: argmax pop_priority,
+        # first-max tie-break; all-negative max -> no further splits)
+        ppl = jnp.where(leaf, pop, neg_inf)
+        maxpp = jnp.max(ppl)
+        done_now = active & (maxpp < 0)
+        act = active & ~done_now
+        p = jnp.argmax(ppl).astype(jnp.int32)
+
+        # --- partition popped docs by the popped node's stored labels
+        pbits = (labels_w[p, word_idx] >> bit_shift) & jnp.uint32(1)
+        go_left = pbits.astype(jnp.bool_)
+        assign2 = jnp.where(
+            assign == p, jnp.where(go_left, c0, c1), assign
+        )
+        mask0 = assign2 == c0
+        mask1 = assign2 == c1
+        s0 = jnp.sum(mask0).astype(jnp.int32)
+        s1 = jnp.sum(mask1).astype(jnp.int32)
+        mx = jnp.maximum(s0, s1)
+
+        # --- bucket eligibility (hierclust._pair_eligible semantics)
+        widx = jnp.searchsorted(widths_arr, mx).astype(jnp.int32)
+        eligible = (s0 > 3) & (s1 > 3) & (widx < nbr)
+        run = act & eligible
+
+        wp = W_slab[p]  # (m, 2): column slot = that child's parent vec
+
+        def make_branch(w):
+            def br(_):
+                idx2 = jnp.stack([
+                    jnp.nonzero(mask0, size=w, fill_value=n)[0]
+                    .astype(jnp.int32),
+                    jnp.nonzero(mask1, size=w, fill_value=n)[0]
+                    .astype(jnp.int32),
+                ])
+                return jax.vmap(
+                    lambda idx, sd, wpc: _child_solve(
+                        A_ext, idx, sd, wpc, n, opts, fdtype
+                    )
+                )(idx2, seed2, wp.T)
+            return br
+
+        branch = jnp.where(run, jnp.minimum(widx, nbr - 1), nbr)
+        Wc, succ, iters, prc, left_full, nl, nr = jax.lax.switch(
+            branch, [make_branch(w) for w in widths] + [noop], None
+        )
+
+        # --- gates: solver failure or the (conservative, f32) unbalanced
+        # outlier check -> bail; the host's f64 TrialSplit decides.
+        cnt = jnp.stack([s0, s1]).astype(jnp.float32)
+        smallest = jnp.minimum(nl, nr).astype(jnp.float32)
+        thresh = jnp.float32(unbalanced) * cnt
+        unbal = (prc >= 0) & (smallest < thresh * 1.000001 + 1e-3)
+        ok = jnp.all(succ) & ~jnp.any(unbal)
+        commit = run & ok
+        bail_now = act & (~eligible | ~ok)
+
+        # --- commit
+        def sel(new, old):
+            return jnp.where(commit, new, old)
+
+        assign = sel(assign2, assign)
+        leaf = leaf.at[p].set(sel(False, leaf[p]))
+        leaf = leaf.at[c0].set(sel(True, leaf[c0]))
+        leaf = leaf.at[c1].set(sel(True, leaf[c1]))
+        W_slab = W_slab.at[c0].set(sel(Wc[0], W_slab[c0]))
+        W_slab = W_slab.at[c1].set(sel(Wc[1], W_slab[c1]))
+        bits0 = _pack_bits_dev(left_full[0])
+        bits1 = _pack_bits_dev(left_full[1])
+        labels_w = labels_w.at[c0].set(sel(bits0, labels_w[c0]))
+        labels_w = labels_w.at[c1].set(sel(bits1, labels_w[c1]))
+        pri = pri.at[c0].set(sel(prc[0], pri[c0]))
+        pri = pri.at[c1].set(sel(prc[1], pri[c1]))
+        # "ndcg" pop policy only (gate in ChainDriver.available)
+        pop = pop.at[c0].set(sel(prc[0], pop[c0]))
+        pop = pop.at[c1].set(sel(prc[1], pop[c1]))
+
+        committed = committed + commit.astype(jnp.int32)
+        bailed = bailed | bail_now
+        done = done | done_now
+
+        stat = jnp.where(
+            commit, 1, jnp.where(bail_now, 2, jnp.where(done_now, 3, 0))
+        ).astype(jnp.float32)
+        head = jnp.stack([
+            stat, p.astype(jnp.float32),
+            succ[0].astype(jnp.float32), succ[1].astype(jnp.float32),
+            iters[0].astype(jnp.float32), iters[1].astype(jnp.float32),
+            prc[0], prc[1],
+        ])
+        ys = jnp.concatenate([
+            head,
+            jax.lax.bitcast_convert_type(bits0, jnp.float32),
+            jax.lax.bitcast_convert_type(bits1, jnp.float32),
+        ])
+        return ((assign, labels_w, W_slab, pri, pop, leaf,
+                 committed, bailed, done), ys)
+
+    carry0 = (assign, labels_w, W_slab, pri, pop, leaf,
+              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+              jnp.zeros((), jnp.bool_))
+    xs = (jnp.arange(seg, dtype=jnp.int32), seeds)
+    carry, ys = jax.lax.scan(step, carry0, xs)
+    return carry, ys
+
+
+@jax.jit
+def _slab_scatter(W_slab, idx, vals):
+    return W_slab.at[idx].set(vals)
+
+
+class ChainDriver:
+    """Host side of the multi-split chain: owns the device carry,
+    replays committed splits through the ordinary Tree bookkeeping, and
+    resynchronizes device state after sequential (bail) splits."""
+
+    def __init__(self, runner, node_count: int):
+        self.runner = runner
+        self.nc = node_count
+        self.n = runner.n
+        self.m = runner.m
+        self.nw = (self.n + 31) // 32
+        self.fdtype = runner.dtype
+        self.widths = _widths(self.n)
+        self.holder = SlabHolder()
+        self._state = None       # (assign, labels_w, pri, pop, leaf) dev
+        self._dirty = True       # host tree changed since last sync
+        global LAST_STATS
+        LAST_STATS = {"segments": 0, "committed": 0, "bails": 0,
+                      "resyncs": 0}
+
+    @staticmethod
+    def available(runner, opts, mesh, checkpoint_path, interrupt_after):
+        return (
+            CHAIN
+            and runner._A_ext is not None
+            and runner.inits.initdir is None
+            and runner.restarts == 1
+            and opts.init_method == "random"
+            and opts.priority_method == "ndcg"
+            and mesh is None
+            and checkpoint_path is None
+            and interrupt_after is None
+            and len(_widths(runner.n)) > 0
+        )
+
+    # --- device-state (re)construction -----------------------------------
+
+    def _sync_from_host(self, tree, W_buffer, L_buffer):
+        """Rebuild the small device state from the host tree, uploading
+        factor blocks only for leaves not already resident in the slab."""
+        nc, n, nw = self.nc, self.n, self.nw
+        assign = np.full(n, -1, dtype=np.int32)
+        labels = np.zeros((nc, nw), dtype=np.uint32)
+        pri = np.zeros(nc, dtype=np.float32)
+        pop = np.zeros(nc, dtype=np.float32)
+        leaf = np.zeros(nc, dtype=bool)
+        upload_idx, upload_val = [], []
+        for q, is_leaf in enumerate(tree.is_leaf):
+            node = tree.nodes[q]
+            if not node.is_valid:
+                continue
+            pri[q] = np.float32(node.priority)
+            pop[q] = np.float32(node.pop_priority)
+            if not is_leaf:
+                continue
+            leaf[q] = True
+            docs = node.docs
+            assign[docs] = q
+            lb = L_buffer[q]
+            if lb is not None and len(lb) == len(docs):
+                full = np.zeros(n, dtype=bool)
+                full[docs[np.asarray(lb, dtype=bool)]] = True
+                labels[q] = _pack_bits_host(full)
+            wb = W_buffer[q]
+            if wb is not None and not (
+                isinstance(wb, SlabPair) and wb.holder is self.holder
+            ):
+                upload_idx.append(q)
+                upload_val.append(
+                    wb.materialize() if isinstance(wb, SlabPair)
+                    else jnp.asarray(np.asarray(wb), self.fdtype)
+                )
+
+        if self.holder.current is None:
+            self.holder.current = jnp.zeros(
+                (nc + 1, self.m, 2), self.fdtype
+            )
+        if upload_idx:
+            self.holder.current = _slab_scatter(
+                self.holder.current,
+                jnp.asarray(np.asarray(upload_idx, np.int32)),
+                jnp.stack(upload_val),
+            )
+        self._state = (
+            jnp.asarray(assign), jnp.asarray(labels),
+            jnp.asarray(pri), jnp.asarray(pop), jnp.asarray(leaf),
+        )
+        self._dirty = False
+
+    def mark_dirty(self):
+        """The host tree advanced outside the chain (sequential split);
+        rebuild device state before the next segment."""
+        self._dirty = True
+
+    # --- segment execution ------------------------------------------------
+
+    def run_segment(self, i: int, num_clusters: int, tree, W_buffer,
+                    L_buffer, stats, opts):
+        """Run one chain segment starting at split ordinal `i` (>= 1).
+
+        Replays committed splits into `tree` and the host buffers.
+        Returns (i_next, outcome) with outcome one of "ok" (segment
+        completed or partially replayed), "bail" (host must run split
+        i_next sequentially), "done" (no further factorization
+        possible).
+        """
+        runner = self.runner
+        rng = runner.inits.rng
+        if self._dirty:
+            self._sync_from_host(tree, W_buffer, L_buffer)
+            LAST_STATS["resyncs"] += 1
+        LAST_STATS["segments"] += 1
+
+        n_steps = min(CHAIN_SEG, (num_clusters - 1) - i)
+        state_pre = rng.get_state()
+        seeds = np.empty((CHAIN_SEG, 2), dtype=np.int32)
+        for s in range(CHAIN_SEG):
+            seeds[s, 0] = runner.inits.next_seed()
+            seeds[s, 1] = runner.inits.next_seed()
+
+        assign, labels_w, pri, pop, leaf = self._state
+        carry, ys = _chain_program(
+            runner._A_ext, jnp.asarray(seeds),
+            jnp.asarray(i, jnp.int32), jnp.asarray(n_steps, jnp.int32),
+            jnp.asarray(num_clusters - 2, jnp.int32),
+            assign, labels_w, self.holder.current, pri, pop, leaf,
+            opts=opts.nmf_opts, fdtype=self.fdtype,
+            unbalanced=float(opts.unbalanced), widths=self.widths,
+            seg=CHAIN_SEG,
+        )
+        ys_h = np.asarray(ys)  # ONE fetch for the whole segment
+        (assign, labels_w, W_slab, pri, pop, leaf, _, _, _) = carry
+        self.holder.current = W_slab
+        self._state = (assign, labels_w, pri, pop, leaf)
+
+        # --- replay committed splits through the host tree ---------------
+        nmf_opts = opts.nmf_opts
+        replayed = 0
+        outcome = "ok"
+        for s in range(n_steps):
+            row = ys_h[s]
+            stat = int(row[0])
+            if stat == 3:
+                outcome = "done"
+                break
+            if stat != 1:
+                outcome = "bail" if stat == 2 else "ok"
+                break
+            popped = int(row[1])
+            _, max_pr, split_index = tree.min_max_leaf_priorities()
+            if split_index != popped or max_pr < 0:
+                # pop-order divergence (should not happen): discard the
+                # rest of the segment and let the sequential engine take
+                # over for one split — state resync handles the slab.
+                outcome = "bail"
+                break
+            W = W_buffer[split_index]
+            left = L_buffer[split_index]
+            tree.split(split_index, W, labels=left)
+            c0, c1 = tree.index0, tree.index1
+            words = row[8:].astype(np.float32).view(np.uint32)
+            for slot, c in enumerate((c0, c1)):
+                docs = tree.nodes[c].docs
+                full = _unpack_bits_host(
+                    words[slot * self.nw:(slot + 1) * self.nw], self.n
+                )
+                L_buffer[c] = full[docs]
+                W_buffer[c] = SlabPair(self.holder, c)
+                prv = float(np.float32(row[6 + slot]))
+                tree.set_node_priority(c, prv, prv)
+                stats.nmf_count += 1
+                iters = int(row[4 + slot])
+                stats.iter_count += iters
+                if iters >= nmf_opts.max_iter:
+                    stats.max_count += 1
+            if opts.verbose:
+                print(f"[{i + replayed + 1}] ", end="", flush=True)
+            replayed += 1
+
+        # roll the RNG stream back to exactly the consumed draws
+        rng.set_state(state_pre)
+        for _ in range(2 * replayed):
+            runner.inits.next_seed()
+
+        if outcome == "ok" and replayed < n_steps:
+            # replay stopped early without an explicit bail/done marker
+            # (pop mismatch): force a resync + one sequential split
+            outcome = "bail"
+        if outcome == "bail":
+            self._dirty = True
+            LAST_STATS["bails"] += 1
+        LAST_STATS["committed"] += replayed
+        return i + replayed, outcome

@@ -38,7 +38,7 @@ from ..io.delimited import load_delimited
 from ..ops.aop import DenseAOp, MaskedAOp, as_aop
 from ..solvers.solve import _nmf_solve_impl, nmf_solve, reference_pg1
 from .priority import compute_priority, compute_priority_device
-from .tree import DeviceColumn, Tree
+from .tree import DeviceColumn, SlabPair, Tree
 
 
 class _InitializerSource:
@@ -492,6 +492,8 @@ class _Rank2Runner:
         """Draw two initializer seeds and dispatch the fused pair program
         (async — nothing is fetched here).  Returns the in-flight state
         `_finish_pair` consumes."""
+        if isinstance(W_parent, SlabPair):
+            W_parent = W_parent.materialize()
         idx = np.full((2, n_b), self.n, dtype=np.int32)
         for i, s in enumerate(subsets):
             idx[i, : len(s)] = s
@@ -1056,8 +1058,40 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
 
     split_index = 0
 
+    # multi-split device chain (engines/hier_chain.py): on the common
+    # fast path, segments of splits run as ONE device program — one
+    # dispatch + one fetch per CHAIN_SEG splits instead of per split.
+    # Any deviation (trial-split outliers, tiny/huge subsets, solver
+    # failure) bails to this sequential loop for one split, then the
+    # chain resumes.
+    from . import hier_chain
+
+    chain = None
+    if hier_chain.ChainDriver.available(runner, opts, mesh,
+                                        checkpoint_path,
+                                        _interrupt_after):
+        chain = hier_chain.ChainDriver(runner, node_count)
+
     try:
-        for i in range(start_i, num_clusters - 1):
+        i = start_i
+        force_sequential = False
+        while i < num_clusters - 1:
+            if chain is not None and i >= 1 and not force_sequential:
+                runner._cancel_spec()
+                i, outcome = chain.run_segment(
+                    i, num_clusters, tree, W_buffer, L_buffer, stats,
+                    opts,
+                )
+                if outcome == "done":
+                    if opts.verbose:
+                        print("\nHierNMF2: no further factorization "
+                              "possible.\n")
+                    break
+                if outcome == "bail":
+                    force_sequential = True
+                continue
+            force_sequential = False
+
             if i == 0:
                 min_priority = np.inf
                 tree.split_root(W, labels=left)
@@ -1070,6 +1104,8 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                         print("\nHierNMF2: no further factorization possible.\n")
                     break
                 W = W_buffer[split_index]
+                if isinstance(W, SlabPair):
+                    W = W.materialize()
                 left = L_buffer[split_index]
                 tree.split(split_index, W, labels=left)
 
@@ -1089,7 +1125,11 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                     tree.left_child_docs(), tree.right_child_docs(), W,
                 )
             if inflight is not None:
-                _speculate_next(tree, runner, W_buffer, L_buffer)
+                # under the chain, the next splits run as a device
+                # segment — speculative dispatch would only duplicate
+                # work the chain re-executes
+                if chain is None:
+                    _speculate_next(tree, runner, W_buffer, L_buffer)
                 pair = runner.finish_pair(inflight, token)
             else:
                 pair = None
@@ -1128,6 +1168,9 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                 raise KeyboardInterrupt(
                     f"test interrupt after {i + 1} splits"
                 )
+            if chain is not None:
+                chain.mark_dirty()
+            i += 1
 
     finally:
         # roll back any unconsumed speculation (downstream rng

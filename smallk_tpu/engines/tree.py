@@ -16,8 +16,41 @@ NONE = -1
 MAX_PRIORITY = np.finfo(np.float64).max
 
 
+class SlabHolder:
+    """Mutable handle on the chain engine's device-resident factor slab
+    ((node_count+1, m, 2)).  The multi-split chain rebuilds the slab
+    functionally each segment; every DeviceColumn/SlabPair holds THIS
+    object and reads `.current` at consumption time, so old slab
+    versions are freed instead of being pinned by per-node views."""
+
+    __slots__ = ("current",)
+
+    def __init__(self, current=None):
+        self.current = current
+
+
+def _unwrap(buf):
+    return buf.current if isinstance(buf, SlabHolder) else buf
+
+
+class SlabPair:
+    """Lazy view of node `node`'s (m, 2) factor block inside a device
+    slab — the chain engine's W_buffer entry (avoids one device slice
+    dispatch per committed node)."""
+
+    __slots__ = ("holder", "node")
+
+    def __init__(self, holder, node: int):
+        self.holder = holder
+        self.node = node
+
+    def materialize(self):
+        return _unwrap(self.holder)[self.node]
+
+
 class DeviceColumn:
-    """Lazy view of one column of a device-resident (m, 2) factor buffer.
+    """Lazy view of one column of a device-resident (m, 2) factor buffer
+    (or, with `node` set, of row `node` of a (nodes, m, 2) slab).
 
     Tree splits record both children's topic vectors; slicing a device
     array eagerly would cost one dispatch per column through a
@@ -25,28 +58,34 @@ class DeviceColumn:
     the vector — and the batched consumers (top terms, flatclust init)
     read `.buf` inside one jitted program instead."""
 
-    __slots__ = ("buf", "col")
+    __slots__ = ("buf", "col", "node")
 
-    def __init__(self, buf, col: int):
+    def __init__(self, buf, col: int, node: int | None = None):
         self.buf = buf
         self.col = col
+        self.node = node
 
     def materialize(self):
-        return self.buf[:, self.col]
+        buf = _unwrap(self.buf)
+        if self.node is not None:
+            return buf[self.node, :, self.col]
+        return buf[:, self.col]
 
 
 def _gather_columns(nodes):
-    """(bufs tuple, ((buf_idx, col), ...) rows) for a list of nodes whose
-    topic vectors are DeviceColumns — dedups shared buffers so sibling
-    pairs ship one array, not two slices."""
+    """(bufs tuple, ((buf_idx, node, col), ...) rows) for a list of nodes
+    whose topic vectors are DeviceColumns — dedups shared buffers so
+    sibling pairs (and the chain's whole slab) ship one array.  `node`
+    is -1 for plain (m, 2) buffers."""
     bufs, index, rows = [], {}, []
     for node in nodes:
         tv = node.topic_vector
         key = id(tv.buf)
         if key not in index:
             index[key] = len(bufs)
-            bufs.append(tv.buf)
-        rows.append((index[key], tv.col))
+            bufs.append(_unwrap(tv.buf))
+        rows.append((index[key], -1 if tv.node is None else tv.node,
+                     tv.col))
     return tuple(bufs), tuple(rows)
 
 
@@ -68,7 +107,10 @@ def _rank_topic_columns(bufs, rows, max_terms):
             jax.jit, static_argnames=("rows", "max_terms")
         )
         def _impl(bufs, rows, max_terms):
-            stacked = jnp.stack([bufs[b][:, c] for b, c in rows], axis=0)
+            stacked = jnp.stack([
+                bufs[b][:, c] if nd < 0 else bufs[b][nd, :, c]
+                for b, nd, c in rows
+            ], axis=0)
             return jnp.argsort(-stacked, axis=1, stable=True)[:, :max_terms]
 
         _rank_jit = _impl
@@ -86,7 +128,10 @@ def _stack_topic_columns(bufs, rows):
 
         @functools.partial(jax.jit, static_argnames=("rows",))
         def _impl(bufs, rows):
-            return jnp.stack([bufs[b][:, c] for b, c in rows], axis=1)
+            return jnp.stack([
+                bufs[b][:, c] if nd < 0 else bufs[b][nd, :, c]
+                for b, nd, c in rows
+            ], axis=1)
 
         _stack_jit = _impl
     return _stack_jit(bufs, rows)
@@ -199,7 +244,16 @@ class Tree:
         self._update_topic_vectors(W)
 
     def _update_topic_vectors(self, W) -> None:
-        if isinstance(W, np.ndarray):
+        if isinstance(W, SlabPair):
+            # chain engine: columns of the popped node's factor block,
+            # read lazily out of the shared device slab
+            self.nodes[self.index0].topic_vector = DeviceColumn(
+                W.holder, 0, W.node
+            )
+            self.nodes[self.index1].topic_vector = DeviceColumn(
+                W.holder, 1, W.node
+            )
+        elif isinstance(W, np.ndarray):
             self.nodes[self.index0].topic_vector = np.array(W[:, 0])
             self.nodes[self.index1].topic_vector = np.array(W[:, 1])
         else:

@@ -33,20 +33,32 @@ PBAR = 3
 #            uses the VMEM-resident Pallas GJ kernel
 #            (solvers/pallas_kernels.py; measured winner at k=8..128,
 #            scripts/tpu_batch10/11) whose HBM traffic is O(k n) instead
-#            of the XLA formulation's O(k^2 n) per elimination pass.
+#            of the XLA formulation's O(k^2 n) per elimination pass —
+#            EXCEPT at huge n*k^3 (high rank x ~million columns), where
+#            the GJ's O(n k^3) VPU elimination is the whole BPP
+#            bottleneck (1.96 s/solve at k=128, n=1M) and the
+#            MXU-centric CG path below takes over.
 #            Elsewhere (CPU, f64, or VMEM-overflowing ranks): k below
 #            _COMPACT_MIN_K uses the XLA unrolled GJ (fuses into the
 #            pivot while_loop), k at or above it the compact-passive
 #            XLA solve.
 #   "xla"    — never use the Pallas kernel.
 #   "pallas" — force the Pallas kernel at every rank.
+#   "cg"     — force the masked conjugate-gradient path at every rank.
 MASKED_SOLVER = "auto"
+
+# auto mode switches to CG when n * k^3 exceeds this (the measured GJ
+# elimination rate is ~2.1e12 flop/s on v5e: 2e15 ~= a second of pure
+# VPU time per solve; CG does the same solve in ~k MXU matmuls).
+_CG_MIN_WORK = 1.0e15
 
 
 def set_masked_solver(name: str) -> None:
     global MASKED_SOLVER
-    if name not in ("auto", "xla", "pallas"):
-        raise ValueError("masked solver must be 'auto', 'xla' or 'pallas'")
+    if name not in ("auto", "xla", "pallas", "cg"):
+        raise ValueError(
+            "masked solver must be 'auto', 'xla', 'pallas' or 'cg'"
+        )
     MASKED_SOLVER = name
 
 
@@ -74,7 +86,80 @@ def _masked_solve(LHS, RHS, passive):
         from .pallas_kernels import masked_gj_solve_pallas
 
         return masked_gj_solve_pallas(LHS, RHS, passive)
+    if MASKED_SOLVER == "cg":
+        return _cg_solve_block(LHS, RHS, passive)
     return _masked_cholesky_solve(LHS, RHS, passive)
+
+
+def _cg_solve_block(LHS, RHS, passive):
+    """Masked SPD solve via Jacobi-preconditioned conjugate gradient.
+
+    Same system as the GJ/Cholesky paths: M x = b with
+    M = (p p^T) .* LHS + diag(1 - p), b = p .* rhs, for all n columns
+    batched.  Each CG step costs ONE k x k matmul against the SHARED
+    LHS — MXU work, O(n k^2) per step — where the direct eliminations
+    cost O(n k^3) VPU work regardless of how they are tiled.  At
+    k=128 x 1M columns the Pallas GJ elimination is 1.96 s of VPU time
+    per solve (the whole BPP bottleneck at that scale, tpu_batch23);
+    <= k+16 CG steps of MXU matmuls replace it.
+
+    Exactness: CG converges in at most |passive support| + 1 steps in
+    exact arithmetic; in floats it is iterated to a relative residual of
+    64*eps (or the step cap) with per-column freezing.  The BPP pivot
+    logic is tolerance-based (`deltas`), so the residual-level noise is
+    below the sign-test thresholds the same way the direct solvers'
+    rounding is.  Dead topics (zero Gram diagonal) are forced
+    non-passive, matching the other paths' guard.
+    """
+    k, n = RHS.shape
+    dtype = LHS.dtype
+    eps = jnp.finfo(dtype).eps
+    tiny = k * eps * (jnp.max(jnp.abs(LHS)) + 1.0)
+    alive = jnp.diag(LHS) > tiny
+    pf = (passive & alive[:, None]).astype(dtype)  # (k, n)
+    omp = 1.0 - pf
+    b = RHS * pf
+    # Jacobi preconditioner = diag(M) (exactly 1 on non-passive rows)
+    dinv = 1.0 / (jnp.diag(LHS)[:, None] * pf + omp)
+
+    def matvec(v):
+        return pf * gemm(LHS, pf * v) + omp * v
+
+    bb = jnp.sum(b * b, axis=0)  # (n,)
+    tol2 = (64.0 * eps) ** 2 * bb
+    max_steps = k + 16
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = r * dinv
+    pd = z
+    rz = jnp.sum(r * z, axis=0)
+    rr = bb
+
+    def cond(c):
+        x, r, z, pd, rz, rr, it = c
+        return jnp.any(rr > tol2) & (it < max_steps)
+
+    def body(c):
+        x, r, z, pd, rz, rr, it = c
+        live = (rr > tol2)[None, :]
+        Mp = matvec(pd)
+        pMp = jnp.sum(pd * Mp, axis=0)
+        alpha = jnp.where(pMp > 0, rz / jnp.where(pMp > 0, pMp, 1.0), 0.0)
+        x = jnp.where(live, x + alpha[None, :] * pd, x)
+        r = jnp.where(live, r - alpha[None, :] * Mp, r)
+        z = r * dinv
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        pd = jnp.where(live, z + beta[None, :] * pd, pd)
+        rz = jnp.where(live[0], rz_new, rz)
+        rr = jnp.where(live[0], jnp.sum(r * r, axis=0), rr)
+        return (x, r, z, pd, rz, rr, it + 1)
+
+    x, r, z, pd, rz, rr, it = jax.lax.while_loop(
+        cond, body, (x, r, z, pd, rz, rr, jnp.zeros((), jnp.int32))
+    )
+    return x * pf
 
 
 # Memory budget for the per-chunk work tensor of the masked solve; wider
@@ -138,6 +223,11 @@ def _masked_cholesky_solve(LHS, RHS, passive):
     elem = jnp.dtype(LHS.dtype).itemsize
     if (MASKED_SOLVER == "auto" and _pallas_ok(LHS.dtype)
             and _pallas_fits(k)):
+        if float(n) * k ** 3 > _CG_MIN_WORK:
+            # huge-width high-rank tier: the GJ elimination's O(n k^3)
+            # VPU time dominates whole BPP iterations (tpu_batch23/25);
+            # CG trades it for <= k+16 MXU matmuls
+            return _cg_solve_block(LHS, RHS, passive)
         # VMEM-resident kernel at EVERY rank (was k >= _COMPACT_MIN_K
         # only): the full-k elimination never touches HBM between pivots.
         # Measured BPP end-to-end, v5e reuters shape, within-process

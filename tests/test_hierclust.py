@@ -273,6 +273,14 @@ class TestSpeculation:
     counts above _MIN_BUCKET so the pair path (and with it speculation)
     actually engages — the other fixtures in this file are too small."""
 
+    @pytest.fixture(autouse=True)
+    def _no_chain(self, monkeypatch):
+        # the multi-split chain supersedes speculation when eligible;
+        # these tests exercise the sequential engine's speculation path
+        from smallk_tpu.engines import hier_chain
+
+        monkeypatch.setattr(hier_chain, "CHAIN", False)
+
     @staticmethod
     def _big(seed=3):
         return _planted_matrix(m=96, n=1400, k=6, seed=seed)
@@ -405,6 +413,164 @@ class TestSpeculation:
         monkeypatch.setattr(hc, "SPEC_DEVICE_BOUND", A.size + 1)
         clust_hier(A, opts, Random(21))
         assert depth_seen == [hc.SPEC_DEPTH]
+
+
+class TestMultiSplitChain:
+    """The multi-split device chain (engines/hier_chain.py) must produce
+    trees BIT-IDENTICAL to the sequential engine: same priorities, same
+    per-node docs, same assignments, same solve/iteration counts.  The
+    chain pre-draws each segment's initializer seeds from the same host
+    stream and rolls back to exactly the consumed count, and every
+    deviation from the common path (outlier gate, tiny children, solver
+    failure) bails to the sequential engine for one split."""
+
+    @staticmethod
+    def _seq_vs_chain(A, opts, seed, seg, monkeypatch):
+        from smallk_tpu.engines import hier_chain
+
+        monkeypatch.setattr(hier_chain, "CHAIN", False)
+        ref_tree, ref_stats = clust_hier(A, opts, Random(seed))
+
+        monkeypatch.setattr(hier_chain, "CHAIN", True)
+        monkeypatch.setattr(hier_chain, "CHAIN_SEG", seg)
+        tree, stats = clust_hier(A, opts, Random(seed))
+        return ref_tree, ref_stats, tree, stats
+
+    @staticmethod
+    def _assert_identical(ref_tree, ref_stats, tree, stats):
+        np.testing.assert_array_equal(tree.assignments,
+                                      ref_tree.assignments)
+        assert list(tree.is_leaf) == list(ref_tree.is_leaf)
+        for q, (n1, n2) in enumerate(zip(tree.nodes, ref_tree.nodes)):
+            assert n1.priority == n2.priority, f"node {q} priority"
+            assert n1.pop_priority == n2.pop_priority, f"node {q} pop"
+            assert n1.parent_index == n2.parent_index, f"node {q} parent"
+            if n1.docs is not None or n2.docs is not None:
+                np.testing.assert_array_equal(n1.docs, n2.docs,
+                                              err_msg=f"node {q} docs")
+        assert stats.nmf_count == ref_stats.nmf_count
+        assert stats.iter_count == ref_stats.iter_count
+        assert stats.max_count == ref_stats.max_count
+
+    @pytest.mark.parametrize("seg", [2, 32])
+    def test_bit_identical_clean_path(self, monkeypatch, seg):
+        from smallk_tpu.engines import hier_chain
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+
+        A, _ = synthetic_term_doc_corpus(700, 1400, 10, seed=5)
+        A = np.asarray(A.todense()).astype(np.float64)
+        opts = _clust_opts(10)
+        out = self._seq_vs_chain(A, opts, 21, seg, monkeypatch)
+        self._assert_identical(*out)
+        # the chain must actually have carried splits (not bailed out)
+        assert hier_chain.LAST_STATS["committed"] >= 5
+
+    def test_bit_identical_f32(self, monkeypatch):
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+
+        A, _ = synthetic_term_doc_corpus(700, 1400, 10, seed=5)
+        A = np.asarray(A.todense()).astype(np.float32)
+        opts = _clust_opts(10, dtype="float32")
+        out = self._seq_vs_chain(A, opts, 21, 32, monkeypatch)
+        self._assert_identical(*out)
+
+    def test_bail_on_outlier_gate_and_reentry(self, monkeypatch):
+        """A tiny planted cluster + a high unbalanced threshold forces
+        TrialSplit's outlier branch: the chain must bail, let the
+        sequential engine drop/recycle, resync, and continue — with the
+        final tree still bit-identical."""
+        from smallk_tpu.engines import hier_chain
+
+        rng = np.random.RandomState(5)
+        m, n = 300, 1400
+        A = np.zeros((m, n))
+        col = 0
+        for c, sz in enumerate([650, 620, 130]):
+            rows = slice(c * 100, (c + 1) * 100)
+            block = rng.rand(100, sz) * (rng.rand(100, sz) < 0.25)
+            block[0, :] += 0.5
+            A[rows, col:col + sz] = block
+            col += sz
+        A += (np.random.RandomState(6).rand(m, n) < 0.02) * 0.1
+
+        opts = ClustOptions(
+            nmf_opts=NmfOptions(
+                tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+                prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+                min_iter=1, max_iter=5000, verbose=False,
+                dtype="float64",
+            ),
+            num_clusters=3, verbose=False, unbalanced=0.45,
+            trial_allowance=2,
+        )
+        out = self._seq_vs_chain(A, opts, 7, 32, monkeypatch)
+        self._assert_identical(*out)
+        # trial retries happened (more solves than 2 splits account for)
+        assert out[1].nmf_count > 5
+        assert hier_chain.LAST_STATS["bails"] >= 1
+
+    def test_done_path(self, monkeypatch):
+        """More requested clusters than splittable leaves: the chain must
+        stop on the all-negative-priority condition exactly where the
+        sequential engine does."""
+        rng = np.random.RandomState(2)
+        m, n = 200, 900
+        A = np.zeros((m, n))
+        A[:100, :450] = rng.rand(100, 450) * (rng.rand(100, 450) < 0.25)
+        A[100:, 450:] = rng.rand(100, 450) * (rng.rand(100, 450) < 0.25)
+        A[0, :] += 0.5
+        A[100, :] += 0.5
+        opts = ClustOptions(
+            nmf_opts=NmfOptions(
+                tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+                prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+                min_iter=1, max_iter=5000, verbose=False,
+                dtype="float64",
+            ),
+            num_clusters=8, verbose=False, unbalanced=0.45,
+            trial_allowance=2,
+        )
+        out = self._seq_vs_chain(A, opts, 7, 3, monkeypatch)
+        self._assert_identical(*out)
+
+    def test_chain_ineligible_paths_fall_back(self, monkeypatch, tmp_path):
+        """initdir / checkpointing / sparse operands / size_ndcg must not
+        use the chain (ChainDriver.available gates)."""
+        from smallk_tpu.engines import hier_chain
+        from smallk_tpu.engines import hierclust as hc
+
+        A, _ = _planted_matrix(m=96, n=1400, k=6, seed=3)
+        opts = _clust_opts(6)
+        monkeypatch.setattr(hier_chain, "CHAIN", True)
+
+        calls = []
+        orig = hier_chain.ChainDriver.run_segment
+
+        def spy(self, *a, **kw):
+            calls.append(1)
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(hier_chain.ChainDriver, "run_segment", spy)
+
+        # checkpointing disables the chain (per-split cadence)
+        clust_hier(A, opts, Random(21),
+                   checkpoint_path=str(tmp_path / "c.npz"))
+        assert calls == []
+
+        # non-default pop policy / best-of-R restarts disable it
+        import dataclasses
+
+        clust_hier(A, dataclasses.replace(opts,
+                                          priority_method="size_ndcg"),
+                   Random(21))
+        assert calls == []
+        clust_hier(A, dataclasses.replace(opts, restarts=2), Random(21))
+        assert calls == []
+
+        # the dense default path DOES use it (small sparse inputs are
+        # densified by as_aop and use it too)
+        clust_hier(A, opts, Random(21))
+        assert len(calls) >= 1
 
 
 class TestPrefetchPool:

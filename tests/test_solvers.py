@@ -453,6 +453,85 @@ class TestCompactPassiveSolve:
         assert float(relative_fnorm(A, res.W, res.H)) < 0.05
 
 
+class TestMaskedCgSolve:
+    """The masked conjugate-gradient solve (solvers/nnls._cg_solve_block,
+    the huge-width high-rank tier) must agree with the direct masked GJ
+    to residual level, guard dead topics, and carry a full NNLS/BPP run
+    when forced via MASKED_SOLVER="cg"."""
+
+    @staticmethod
+    def _problem(k, n, pdens, seed, dtype=DTYPE):
+        rng = np.random.RandomState(seed)
+        B = rng.rand(k, 2 * k)
+        LHS = jnp.asarray(B @ B.T + 0.1 * np.eye(k), dtype)
+        RHS = jnp.asarray(rng.randn(k, n), dtype)
+        passive = jnp.asarray(rng.rand(k, n) < pdens)
+        return LHS, RHS, passive
+
+    @pytest.mark.parametrize("k,n,pdens", [
+        (8, 300, 0.5),     # low rank
+        (64, 400, 0.25),   # the measured BPP passive density (~30/128)
+        (128, 257, 0.9),   # nearly full passive sets
+    ])
+    def test_matches_direct_solve(self, k, n, pdens):
+        import smallk_tpu.solvers.nnls as nn
+
+        LHS, RHS, passive = self._problem(k, n, pdens, seed=k + n)
+        Xc = np.asarray(nn._cg_solve_block(LHS, RHS, passive))
+        Xd = np.asarray(nn._gj_solve_block(LHS, RHS, passive))
+        scale = np.abs(Xd).max()
+        np.testing.assert_allclose(Xc, Xd, rtol=0, atol=1e-9 * scale)
+        # non-passive rows exactly zero (same contract as GJ/Cholesky)
+        assert (Xc[~np.asarray(passive)] == 0).all()
+
+    def test_f32_residual_level(self):
+        import smallk_tpu.solvers.nnls as nn
+
+        LHS, RHS, passive = self._problem(96, 300, 0.3, seed=2,
+                                          dtype=jnp.float32)
+        Xc = np.asarray(nn._cg_solve_block(LHS, RHS, passive))
+        Xd = np.asarray(nn._gj_solve_block(LHS, RHS, passive))
+        scale = np.abs(Xd).max()
+        np.testing.assert_allclose(Xc, Xd, rtol=0, atol=3e-4 * scale)
+
+    def test_dead_topic_guarded(self):
+        import smallk_tpu.solvers.nnls as nn
+
+        k, n = 80, 64
+        rng = np.random.RandomState(1)
+        Wf = rng.rand(3 * k, k)
+        Wf[:, 5] = 0.0  # dead topic: zero Gram row/col
+        LHS = jnp.asarray(Wf.T @ Wf, DTYPE)
+        RHS = jnp.asarray(Wf.T @ rng.rand(3 * k, n), DTYPE)
+        x = np.asarray(nn._cg_solve_block(
+            LHS, RHS, jnp.ones((k, n), dtype=bool)
+        ))
+        assert not np.isnan(x).any()
+        np.testing.assert_allclose(x[5], 0.0, atol=1e-12)
+
+    def test_bpp_converges_through_cg_path(self):
+        import smallk_tpu.solvers.nnls as nn
+
+        k, m, n = 48, 160, 120
+        rng = Random(5)
+        Wt = np.asarray(random_matrix(m, k, rng)) ** 3
+        Ht = np.asarray(random_matrix(k, n, rng)) ** 3
+        A = jnp.asarray(Wt @ Ht, DTYPE)
+        opts = NmfOptions(tol=1e-5, algorithm=NmfAlgorithm.BPP, height=m,
+                          width=n, k=k, min_iter=1, max_iter=300,
+                          verbose=False, dtype="float64")
+        nn.set_masked_solver("cg")
+        try:
+            res = nmf_solve(DenseAOp(A),
+                            jnp.asarray(random_matrix(m, k, rng), DTYPE),
+                            jnp.asarray(random_matrix(k, n, rng), DTYPE),
+                            opts)
+        finally:
+            nn.set_masked_solver("auto")
+        assert bool(res.success)
+        assert float(relative_fnorm(A, res.W, res.H)) < 0.05
+
+
 class TestSpectralInit:
     def test_rank2_quality_and_iterations(self):
         from smallk_tpu.solvers.rank2 import spectral_init_rank2
