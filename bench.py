@@ -123,6 +123,49 @@ def bench_all():
         "vs_baseline": round(rate_hi / 0.4, 1),
     })
 
+    # flagship scale: rank-128 on a 50k-term x 1M-doc corpus (80M nnz,
+    # doc-blocked bucketed ELL).  The reference cannot run this size at
+    # all (signed-int32 m*k / k*n checks, common/src/nmf.cpp:195-210);
+    # vs_baseline is the ratio to the 1 it/s round-3 target (VERDICT r2
+    # #4).  Bulk sampler instead of matrixgen's exact rejection sampler
+    # (143 s at this size); duplicates summed, same corpus statistics.
+    import scipy.sparse as _sp
+
+    from smallk_tpu.ops.ell import EllAOp
+
+    m1, n1, k1, nzc = 50_000, 1_000_000, 128, 80
+    gs = np.random.RandomState(9)
+    A1 = _sp.csc_matrix(
+        (gs.rand(n1 * nzc).astype(np.float32),
+         gs.randint(0, m1, n1 * nzc).astype(np.int32),
+         np.arange(0, n1 * nzc + 1, nzc, dtype=np.int64)),
+        shape=(m1, n1))
+    A1.sum_duplicates()
+    op1 = EllAOp.from_scipy(A1, dtype=jnp.bfloat16)
+    del A1
+    rng1 = Random(5)
+    W01 = jnp.asarray(random_matrix(m1, k1, rng1, dtype=np.float32))
+    H01 = jnp.asarray(random_matrix(k1, n1, rng1, dtype=np.float32))
+    walls1 = {}
+    for iters in (2, 6):
+        o1 = NmfOptions(tol=1e-30, algorithm=NmfAlgorithm.BPP,
+                        height=m1, width=n1, k=k1, min_iter=1,
+                        max_iter=iters, verbose=False,
+                        a_dtype="bfloat16")
+        r = nmf_solve(op1, W01, H01, o1)
+        r.W.block_until_ready()  # compile
+        t0 = time.perf_counter()
+        r = nmf_solve(op1, W01, H01, o1)
+        r.W.block_until_ready()
+        walls1[iters] = time.perf_counter() - t0
+    rate1 = 4.0 / max(walls1[6] - walls1[2], 1e-6)
+    del op1, W01, H01, r
+    out.append({
+        "metric": "nmf_bpp_iters_per_sec_50kx1M_k128",
+        "value": round(rate1, 2), "unit": "iterations/sec",
+        "vs_baseline": round(rate1 / 1.0, 2),
+    })
+
     # HALS iterations/sec, flatclust baseline config (reference: 2128/s)
     rng = Random(42)
     Ad = jnp.asarray(random_matrix(256, 256, rng, dtype=np.float32))

@@ -56,6 +56,11 @@ def main():
     f_xla = jax.jit(nnls._masked_solve)
     t_xla = timeit(f_xla, LHS, RHS, passive)
     print(f"  xla compact (chunked): {t_xla*1e3:.0f} ms", flush=True)
+
+    # masked-CG tier (the auto dispatch at n*k^3 > _CG_MIN_WORK)
+    f_cg = jax.jit(nnls._cg_solve_block)
+    t_cg = timeit(f_cg, LHS, RHS, passive)
+    print(f"  masked CG: {t_cg*1e3:.0f} ms", flush=True)
     nnls.set_masked_solver("auto")
 
     # numerical parity on a slice
@@ -64,7 +69,9 @@ def main():
     xx = np.asarray(jax.jit(nnls._masked_solve)(
         LHS, RHS[:, :8192], passive[:, :8192]))
     nnls.set_masked_solver("auto")
-    print(f"  parity maxdiff: {np.max(np.abs(xp - xx)):.2e}", flush=True)
+    xc = np.asarray(f_cg(LHS, RHS[:, :8192], passive[:, :8192]))
+    print(f"  parity maxdiff pallas-xla: {np.max(np.abs(xp - xx)):.2e}  "
+          f"cg-xla: {np.max(np.abs(xc - xx)):.2e}", flush=True)
 
     # --- end-to-end BPP on the north-star shape -------------------------
     from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
@@ -74,14 +81,24 @@ def main():
 
     m = 50_000
     t1 = time.perf_counter()
-    A = random_sparse_matrix(Random(9), m, n, nz_per_col=80,
-                             dtype=np.float32)
+    # fast bulk generator (random_sparse_matrix's exact rejection sampler
+    # costs ~143 s at 80M nnz; the BPP rate doesn't depend on the
+    # duplicate-free property)
+    import scipy.sparse as sp
+    gs = np.random.RandomState(9)
+    nzc = 80
+    A = sp.csc_matrix(
+        (gs.rand(n * nzc).astype(np.float32),
+         gs.randint(0, m, n * nzc).astype(np.int32),
+         np.arange(0, n * nzc + 1, nzc, dtype=np.int64)),
+        shape=(m, n))
+    A.sum_duplicates()
     print(f"  host gen: {time.perf_counter()-t1:.0f}s", flush=True)
     op = EllAOp.from_scipy(A, dtype=jnp.bfloat16)
     W0 = jnp.asarray(random_matrix(m, k, rng, dtype=np.float32))
     H0 = jnp.asarray(random_matrix(k, n, rng, dtype=np.float32))
 
-    for mode in ("auto", "xla"):
+    for mode in ("auto", "cg", "xla"):
         nnls.set_masked_solver(mode)
         walls = {}
         for iters in (2, 6):
@@ -97,7 +114,8 @@ def main():
             walls[iters] = time.perf_counter() - t1
         rate = 4.0 / max(walls[6] - walls[2], 1e-6)
         print(f"  BPP 1M-doc k=128 [{mode}]: {rate:.2f} it/s "
-              f"(2it {walls[2]:.1f}s, 6it {walls[6]:.1f}s)", flush=True)
+              f"(2it {walls[2]:.1f}s, 6it {walls[6]:.1f}s, "
+              f"success {bool(r.success)})", flush=True)
     nnls.set_masked_solver("auto")
 
 

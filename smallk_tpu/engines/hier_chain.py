@@ -13,7 +13,10 @@ This module fuses S consecutive splits into ONE device program: a
 lax.scan whose step pops the max-priority leaf, partitions its docs,
 gathers both children's column subsets, runs the pair rank-2 solve, and
 commits labels/priorities — so the host pays one dispatch + one fetch
-per S splits instead of per split.
+per S splits instead of per split.  Split 0 is included: the root
+factorization rides in as a virtual node at slab index node_count with
+pop priority +inf, so a clean run is root-solve + ceil((k-1)/S)
+segment programs and nothing else.
 
 Bit-parity with the sequential engine is by construction:
   - the per-child solve body is the same draw + `_nmf_solve_impl` +
@@ -110,47 +113,77 @@ def _pack_bits_host(full: np.ndarray) -> np.ndarray:
     return np.packbits(full, bitorder="little").view(np.uint32)
 
 
-def _child_solve(A_ext, idx, seed, wp, n_full, opts, fdtype):
+def _child_solve(A_ext, idx, seed, wp, n_full, opts, fdtype,
+                 restarts=1):
     """One child factorization at bucket width idx.shape[0].
 
-    Mirrors hierclust._gather_body (restarts=1, init="random") +
-    _solve_and_pack exactly — same threefry draw, same solve program,
-    same priority gates — but scatters the split labels back to full
-    doc width for the chain's partition bookkeeping."""
+    Mirrors hierclust._gather_body (init="random") + _solve_and_pack /
+    _solve_best_of exactly — same threefry draw, same solve program,
+    same best-of-R objective, same priority gates — but scatters the
+    split labels back to full doc width for the chain's partition
+    bookkeeping."""
     m = A_ext.shape[0]
     cols = jnp.take(A_ext, idx, axis=1)
     op = DenseAOp(cols)
     valid = idx < n_full
 
-    key = jax.random.PRNGKey(seed)
-    kW, kH = jax.random.split(key)
-    W0 = jax.random.uniform(kW, (m, 2), fdtype)
-    Hf = jax.random.uniform(kH, (2, n_full), fdtype)
-    H0 = jnp.take(Hf, idx, axis=1, mode="fill", fill_value=0)
+    def draw(key):
+        kW, kH = jax.random.split(key)
+        W0 = jax.random.uniform(kW, (m, 2), fdtype)
+        Hf = jax.random.uniform(kH, (2, n_full), fdtype)
+        H0 = jnp.take(Hf, idx, axis=1, mode="fill", fill_value=0)
+        return W0, H0
 
-    res = _nmf_solve_impl(op, W0, H0, opts, False, None)
+    root = jax.random.PRNGKey(seed)
+    if restarts == 1:
+        W0, H0 = draw(root)
+        res = _nmf_solve_impl(op, W0, H0, opts, False, None)
+        Wb, Hb = res.W, res.H
+        succ, iters = res.success, res.iterations
+    else:
+        # best-of-R by the rank-2 reconstruction objective — the exact
+        # computation of hierclust._solve_best_of
+        W0s, H0s = jax.vmap(draw)(jax.random.split(root, restarts))
+        res = jax.vmap(
+            lambda w0, h0: _nmf_solve_impl(op, w0, h0, opts, False, None)
+        )(W0s, H0s)
 
-    left = res.H[0, :] > res.H[1, :]
+        def objective(W, H, ok):
+            WtW = jnp.matmul(W.T, W)
+            HHt = jnp.matmul(H, H.T)
+            WtA = op.mm_tn(W)
+            s = jnp.sum(WtW * HHt) - 2.0 * jnp.sum(WtA * H)
+            return jnp.where(ok, s, jnp.asarray(jnp.inf, s.dtype))
+
+        scores = jax.vmap(objective)(res.W, res.H, res.success)
+        best = jnp.argmin(scores)  # ties -> lowest restart index
+        Wb, Hb = res.W[best], res.H[best]
+        succ = jnp.any(res.success)
+        iters = res.iterations[best]
+
+    left = Hb[0, :] > Hb[1, :]
     has0 = jnp.any(left & valid)
     has1 = jnp.any((~left) & valid)
-    pr = compute_priority_device(wp, res.W)
+    pr = compute_priority_device(wp, Wb)
     pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
     left_full = jnp.zeros((n_full,), jnp.bool_).at[idx].set(
         jnp.where(valid, left, False), mode="drop"
     )
     nl = jnp.sum(left & valid).astype(jnp.int32)
     nr = jnp.sum((~left) & valid).astype(jnp.int32)
-    return (res.W, res.success, res.iterations.astype(jnp.int32),
+    return (Wb, succ, iters.astype(jnp.int32),
             pr.astype(jnp.float32), left_full, nl, nr)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opts", "fdtype", "unbalanced", "widths", "seg"),
+    static_argnames=("opts", "fdtype", "unbalanced", "widths", "seg",
+                     "restarts", "size_pop"),
 )
 def _chain_program(A_ext, seeds, i0, n_steps, last_split,
                    assign, labels_w, W_slab, pri, pop, leaf,
-                   opts, fdtype, unbalanced, widths, seg):
+                   opts, fdtype, unbalanced, widths, seg,
+                   restarts=1, size_pop=False):
     """Run up to `n_steps` (<= seg) splits on device.
 
     Step s handles split i = i0 + s: pop the max-pop-priority leaf
@@ -230,7 +263,7 @@ def _chain_program(A_ext, seeds, i0, n_steps, last_split,
                 ])
                 return jax.vmap(
                     lambda idx, sd, wpc: _child_solve(
-                        A_ext, idx, sd, wpc, n, opts, fdtype
+                        A_ext, idx, sd, wpc, n, opts, fdtype, restarts
                     )
                 )(idx2, seed2, wp.T)
             return br
@@ -266,9 +299,17 @@ def _chain_program(A_ext, seeds, i0, n_steps, last_split,
         labels_w = labels_w.at[c1].set(sel(bits1, labels_w[c1]))
         pri = pri.at[c0].set(sel(prc[0], pri[c0]))
         pri = pri.at[c1].set(sel(prc[1], pri[c1]))
-        # "ndcg" pop policy only (gate in ChainDriver.available)
-        pop = pop.at[c0].set(sel(prc[0], pop[c0]))
-        pop = pop.at[c1].set(sel(prc[1], pop[c1]))
+        # pop policy: raw NDCG, or size-scaled NDCG for graph workloads
+        # (hierclust commit: pop = priority * len(subset) when
+        # priority > 0).  The f32 product can order differently from
+        # the host's f64 product only on exact near-ties; the replay's
+        # pop check turns such a flip into a bail, never a wrong tree.
+        if size_pop:
+            popc = jnp.where(prc > 0, prc * cnt, prc)
+        else:
+            popc = prc
+        pop = pop.at[c0].set(sel(popc[0], pop[c0]))
+        pop = pop.at[c1].set(sel(popc[1], pop[c1]))
 
         committed = committed + commit.astype(jnp.int32)
         bailed = bailed | bail_now
@@ -320,9 +361,20 @@ class ChainDriver:
         self.holder = SlabHolder()
         self._state = None       # (assign, labels_w, pri, pop, leaf) dev
         self._dirty = True       # host tree changed since last sync
+        # the root rides as a VIRTUAL node at slab index nc: split 0 is
+        # an ordinary chain step that pops it (pop=+inf) and solves
+        # children 0/1, so a whole run needs no separate split-0 program
+        self._root_W = None
+        self._root_left = None
         global LAST_STATS
         LAST_STATS = {"segments": 0, "committed": 0, "bails": 0,
                       "resyncs": 0}
+
+    def set_root(self, W, left):
+        """Record the root factorization (host arrays) so split 0 can run
+        inside the chain (and the sequential fallback can replay it)."""
+        self._root_W = np.asarray(W)
+        self._root_left = np.asarray(left, dtype=bool)
 
     @staticmethod
     def available(runner, opts, mesh, checkpoint_path, interrupt_after):
@@ -330,9 +382,8 @@ class ChainDriver:
             CHAIN
             and runner._A_ext is not None
             and runner.inits.initdir is None
-            and runner.restarts == 1
             and opts.init_method == "random"
-            and opts.priority_method == "ndcg"
+            and opts.priority_method in ("ndcg", "size_ndcg")
             and mesh is None
             and checkpoint_path is None
             and interrupt_after is None
@@ -343,14 +394,25 @@ class ChainDriver:
 
     def _sync_from_host(self, tree, W_buffer, L_buffer):
         """Rebuild the small device state from the host tree, uploading
-        factor blocks only for leaves not already resident in the slab."""
+        factor blocks only for leaves not already resident in the slab.
+        State arrays are sized nc+1: index nc is the virtual root node
+        (a leaf with pop=+inf before split 0, dead afterwards)."""
         nc, n, nw = self.nc, self.n, self.nw
         assign = np.full(n, -1, dtype=np.int32)
-        labels = np.zeros((nc, nw), dtype=np.uint32)
-        pri = np.zeros(nc, dtype=np.float32)
-        pop = np.zeros(nc, dtype=np.float32)
-        leaf = np.zeros(nc, dtype=bool)
+        labels = np.zeros((nc + 1, nw), dtype=np.uint32)
+        pri = np.zeros(nc + 1, dtype=np.float32)
+        pop = np.zeros(nc + 1, dtype=np.float32)
+        leaf = np.zeros(nc + 1, dtype=bool)
         upload_idx, upload_val = [], []
+        if tree.active_nodes == 0:
+            # pre-split-0: everything lives in the virtual root
+            assert self._root_W is not None
+            assign[:] = nc
+            leaf[nc] = True
+            pop[nc] = pri[nc] = np.inf
+            labels[nc] = _pack_bits_host(self._root_left)
+            upload_idx.append(nc)
+            upload_val.append(jnp.asarray(self._root_W, self.fdtype))
         for q, is_leaf in enumerate(tree.is_leaf):
             node = tree.nodes[q]
             if not node.is_valid:
@@ -418,9 +480,17 @@ class ChainDriver:
         LAST_STATS["segments"] += 1
 
         n_steps = min(CHAIN_SEG, (num_clusters - 1) - i)
+        # pad the compiled scan length to the next power of 2 (not always
+        # CHAIN_SEG): inactive steps still pay the partition/commit
+        # arithmetic, which is pure waste on short tails (a 12-cluster
+        # run needs 10 steps, not 32)
+        seg = 1
+        while seg < n_steps:
+            seg <<= 1
+        seg = min(seg, CHAIN_SEG)
         state_pre = rng.get_state()
-        seeds = np.empty((CHAIN_SEG, 2), dtype=np.int32)
-        for s in range(CHAIN_SEG):
+        seeds = np.empty((seg, 2), dtype=np.int32)
+        for s in range(seg):
             seeds[s, 0] = runner.inits.next_seed()
             seeds[s, 1] = runner.inits.next_seed()
 
@@ -432,7 +502,8 @@ class ChainDriver:
             assign, labels_w, self.holder.current, pri, pop, leaf,
             opts=opts.nmf_opts, fdtype=self.fdtype,
             unbalanced=float(opts.unbalanced), widths=self.widths,
-            seg=CHAIN_SEG,
+            seg=seg, restarts=runner.restarts,
+            size_pop=(opts.priority_method == "size_ndcg"),
         )
         ys_h = np.asarray(ys)  # ONE fetch for the whole segment
         (assign, labels_w, W_slab, pri, pop, leaf, _, _, _) = carry
@@ -453,16 +524,24 @@ class ChainDriver:
                 outcome = "bail" if stat == 2 else "ok"
                 break
             popped = int(row[1])
-            _, max_pr, split_index = tree.min_max_leaf_priorities()
-            if split_index != popped or max_pr < 0:
-                # pop-order divergence (should not happen): discard the
-                # rest of the segment and let the sequential engine take
-                # over for one split — state resync handles the slab.
-                outcome = "bail"
-                break
-            W = W_buffer[split_index]
-            left = L_buffer[split_index]
-            tree.split(split_index, W, labels=left)
+            if i + replayed == 0:
+                # split 0: the popped node is the virtual root
+                if popped != self.nc:
+                    outcome = "bail"
+                    break
+                tree.split_root(self._root_W, labels=self._root_left)
+            else:
+                _, max_pr, split_index = tree.min_max_leaf_priorities()
+                if split_index != popped or max_pr < 0:
+                    # pop-order divergence (should not happen): discard
+                    # the rest of the segment and let the sequential
+                    # engine take over for one split — state resync
+                    # handles the slab.
+                    outcome = "bail"
+                    break
+                W = W_buffer[split_index]
+                left = L_buffer[split_index]
+                tree.split(split_index, W, labels=left)
             c0, c1 = tree.index0, tree.index1
             words = row[8:].astype(np.float32).view(np.uint32)
             for slot, c in enumerate((c0, c1)):
@@ -473,7 +552,12 @@ class ChainDriver:
                 L_buffer[c] = full[docs]
                 W_buffer[c] = SlabPair(self.holder, c)
                 prv = float(np.float32(row[6 + slot]))
-                tree.set_node_priority(c, prv, prv)
+                # pop policy mirrors the sequential commit exactly (f64
+                # product of the f32-rounded priority and the doc count)
+                popv = prv
+                if opts.priority_method == "size_ndcg" and prv > 0:
+                    popv = prv * len(docs)
+                tree.set_node_priority(c, prv, popv)
                 stats.nmf_count += 1
                 iters = int(row[4 + slot])
                 stats.iter_count += iters

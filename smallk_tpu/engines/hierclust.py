@@ -1071,12 +1071,13 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                                         checkpoint_path,
                                         _interrupt_after):
         chain = hier_chain.ChainDriver(runner, node_count)
+        chain.set_root(W, left)  # split 0 runs inside the chain
 
     try:
         i = start_i
         force_sequential = False
         while i < num_clusters - 1:
-            if chain is not None and i >= 1 and not force_sequential:
+            if chain is not None and not force_sequential:
                 runner._cancel_spec()
                 i, outcome = chain.run_segment(
                     i, num_clusters, tree, W_buffer, L_buffer, stats,

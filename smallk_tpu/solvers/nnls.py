@@ -47,10 +47,14 @@ PBAR = 3
 #   "cg"     — force the masked conjugate-gradient path at every rank.
 MASKED_SOLVER = "auto"
 
-# auto mode switches to CG when n * k^3 exceeds this (the measured GJ
-# elimination rate is ~2.1e12 flop/s on v5e: 2e15 ~= a second of pure
-# VPU time per solve; CG does the same solve in ~k MXU matmuls).
-_CG_MIN_WORK = 1.0e15
+# auto mode switches to CG when n * k^3 (the GJ elimination's VPU flop
+# scale) exceeds this.  The measured GJ rate is ~2.1e12 elimination
+# flops/s on v5e, so 1e12 ~= half a second of pure VPU time per solve
+# (k=128 x 1M columns measures 1.96 s, tpu_batch23); CG replaces it
+# with <= k+16 MXU matmuls against the shared k x k LHS.  The threshold
+# deliberately clears the validated Pallas-GJ hot paths (k=128 at
+# reuters width is 6.7e9; the 1M-doc flagship is 2.1e12).
+_CG_MIN_WORK = 1.0e12
 
 
 def set_masked_solver(name: str) -> None:
@@ -112,18 +116,31 @@ def _cg_solve_block(LHS, RHS, passive):
     non-passive, matching the other paths' guard.
     """
     k, n = RHS.shape
-    dtype = LHS.dtype
+    # iterate in >= f32 (bf16 operands arrive when a_dtype="bfloat16";
+    # residual recurrences in bf16 would stall far above the tolerance)
+    dtype = jnp.promote_types(jnp.promote_types(LHS.dtype, RHS.dtype),
+                              jnp.float32)
+    out_dtype = LHS.dtype  # the Pallas/GJ paths' output contract
+    LHS = LHS.astype(dtype)
     eps = jnp.finfo(dtype).eps
     tiny = k * eps * (jnp.max(jnp.abs(LHS)) + 1.0)
     alive = jnp.diag(LHS) > tiny
-    pf = (passive & alive[:, None]).astype(dtype)  # (k, n)
-    omp = 1.0 - pf
-    b = RHS * pf
-    # Jacobi preconditioner = diag(M) (exactly 1 on non-passive rows)
-    dinv = 1.0 / (jnp.diag(LHS)[:, None] * pf + omp)
+    pf = passive & alive[:, None]  # (k, n) BOOLEAN — 4x less HBM than f32
+    # Jacobi preconditioner: 1/diag(LHS) as a k-vector broadcast (the
+    # non-passive identity rows never matter — every carried vector is
+    # exactly zero off the passive support, see below)
+    dinv = jnp.where(alive, 1.0 / jnp.where(alive, jnp.diag(LHS), 1.0),
+                     1.0)[:, None]
+    b = jnp.where(pf, RHS, 0).astype(dtype)
 
+    # All of x, r, pd live only on the passive support: r0 = b is masked,
+    # and each update multiplies/adds masked quantities, so the identity
+    # block of M contributes exactly 0*0 — matvec needs no omp term.
+    # This solver is HBM-bound at the target widths (k=128 x 1M cols);
+    # the carried state is 3 f32 arrays + 1 bool mask, ~7 array passes
+    # per step, vs the direct GJ's O(k) full passes.
     def matvec(v):
-        return pf * gemm(LHS, pf * v) + omp * v
+        return jnp.where(pf, gemm(LHS, v), 0)
 
     bb = jnp.sum(b * b, axis=0)  # (n,)
     tol2 = (64.0 * eps) ** 2 * bb
@@ -131,35 +148,33 @@ def _cg_solve_block(LHS, RHS, passive):
 
     x = jnp.zeros_like(b)
     r = b
-    z = r * dinv
-    pd = z
-    rz = jnp.sum(r * z, axis=0)
+    pd = r * dinv
+    rz = jnp.sum(r * pd, axis=0)
     rr = bb
 
     def cond(c):
-        x, r, z, pd, rz, rr, it = c
+        x, r, pd, rz, rr, it = c
         return jnp.any(rr > tol2) & (it < max_steps)
 
     def body(c):
-        x, r, z, pd, rz, rr, it = c
+        x, r, pd, rz, rr, it = c
         live = (rr > tol2)[None, :]
         Mp = matvec(pd)
         pMp = jnp.sum(pd * Mp, axis=0)
         alpha = jnp.where(pMp > 0, rz / jnp.where(pMp > 0, pMp, 1.0), 0.0)
         x = jnp.where(live, x + alpha[None, :] * pd, x)
         r = jnp.where(live, r - alpha[None, :] * Mp, r)
-        z = r * dinv
-        rz_new = jnp.sum(r * z, axis=0)
+        rz_new = jnp.sum(r * r * dinv, axis=0)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        pd = jnp.where(live, z + beta[None, :] * pd, pd)
+        pd = jnp.where(live, r * dinv + beta[None, :] * pd, pd)
         rz = jnp.where(live[0], rz_new, rz)
         rr = jnp.where(live[0], jnp.sum(r * r, axis=0), rr)
-        return (x, r, z, pd, rz, rr, it + 1)
+        return (x, r, pd, rz, rr, it + 1)
 
-    x, r, z, pd, rz, rr, it = jax.lax.while_loop(
-        cond, body, (x, r, z, pd, rz, rr, jnp.zeros((), jnp.int32))
+    x, r, pd, rz, rr, it = jax.lax.while_loop(
+        cond, body, (x, r, pd, rz, rr, jnp.zeros((), jnp.int32))
     )
-    return x * pf
+    return jnp.where(pf, x, 0).astype(out_dtype)
 
 
 # Memory budget for the per-chunk work tensor of the masked solve; wider

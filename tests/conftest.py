@@ -22,3 +22,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite compiles ~300 XLA:CPU programs in one process; left
+    to accumulate, the JIT's code cache eventually segfaults inside
+    backend_compile_and_load (reproduced deterministically at ~270
+    programs; each half of the suite passes alone).  Per-module cache
+    clears keep the live-executable count bounded; cross-module cache
+    reuse is minimal, so the wall-clock cost is small."""
+    yield
+    jax.clear_caches()

@@ -557,20 +557,38 @@ class TestMultiSplitChain:
                    checkpoint_path=str(tmp_path / "c.npz"))
         assert calls == []
 
-        # non-default pop policy / best-of-R restarts disable it
+        # spectral init disables it (chain solves are random-start only)
         import dataclasses
 
-        clust_hier(A, dataclasses.replace(opts,
-                                          priority_method="size_ndcg"),
+        clust_hier(A, dataclasses.replace(opts, init_method="spectral"),
                    Random(21))
-        assert calls == []
-        clust_hier(A, dataclasses.replace(opts, restarts=2), Random(21))
         assert calls == []
 
         # the dense default path DOES use it (small sparse inputs are
         # densified by as_aop and use it too)
         clust_hier(A, opts, Random(21))
         assert len(calls) >= 1
+
+    @pytest.mark.parametrize("dtype", ["float64", "float32"])
+    def test_bit_identical_graph_options(self, monkeypatch, dtype):
+        """size_ndcg pop policy + best-of-R restarts (the graph-workflow
+        preset) run through the chain and stay bit-identical to the
+        sequential engine."""
+        import dataclasses
+
+        from smallk_tpu.engines import hier_chain
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+
+        A, _ = synthetic_term_doc_corpus(700, 1400, 10, seed=5)
+        A = np.asarray(A.todense()).astype(
+            np.float64 if dtype == "float64" else np.float32)
+        opts = dataclasses.replace(
+            _clust_opts(10, dtype=dtype),
+            priority_method="size_ndcg", restarts=3,
+        )
+        out = self._seq_vs_chain(A, opts, 21, 32, monkeypatch)
+        self._assert_identical(*out)
+        assert hier_chain.LAST_STATS["committed"] >= 5
 
 
 class TestPrefetchPool:
