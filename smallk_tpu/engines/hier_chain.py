@@ -175,15 +175,61 @@ def _child_solve(A_ext, idx, seed, wp, n_full, opts, fdtype,
             pr.astype(jnp.float32), left_full, nl, nr)
 
 
+def _root_solve(A_ext, seed, opts, fdtype, restarts):
+    """Root factorization at FULL width inside the chain program.
+
+    Replicates the serial path (hierclust._Rank2Runner.solve(None) ->
+    _fused_masked_solve idx=None) exactly: one host seed, W0 (m, 2) and
+    H0 (2, n) drawn directly (no gather), same solve / best-of-R body.
+    Returns (W, success, iters, left_full)."""
+    m = A_ext.shape[0]
+    n = A_ext.shape[1] - 1
+    op = DenseAOp(A_ext[:, :n])
+
+    def draw(key):
+        kW, kH = jax.random.split(key)
+        return (jax.random.uniform(kW, (m, 2), fdtype),
+                jax.random.uniform(kH, (2, n), fdtype))
+
+    root = jax.random.PRNGKey(seed)
+    if restarts == 1:
+        W0, H0 = draw(root)
+        res = _nmf_solve_impl(op, W0, H0, opts, False, None)
+        Wb, Hb = res.W, res.H
+        succ, iters = res.success, res.iterations
+    else:
+        W0s, H0s = jax.vmap(draw)(jax.random.split(root, restarts))
+        res = jax.vmap(
+            lambda w0, h0: _nmf_solve_impl(op, w0, h0, opts, False, None)
+        )(W0s, H0s)
+
+        def objective(W, H, ok):
+            WtW = jnp.matmul(W.T, W)
+            HHt = jnp.matmul(H, H.T)
+            WtA = op.mm_tn(W)
+            s = jnp.sum(WtW * HHt) - 2.0 * jnp.sum(WtA * H)
+            return jnp.where(ok, s, jnp.asarray(jnp.inf, s.dtype))
+
+        scores = jax.vmap(objective)(res.W, res.H, res.success)
+        best = jnp.argmin(scores)
+        Wb, Hb = res.W[best], res.H[best]
+        succ = jnp.any(res.success)
+        iters = res.iterations[best]
+
+    left = Hb[0, :] > Hb[1, :]
+    return Wb, succ, iters.astype(jnp.int32), left
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("opts", "fdtype", "unbalanced", "widths", "seg",
-                     "restarts", "size_pop"),
+                     "restarts", "size_pop", "do_root", "max_terms"),
 )
-def _chain_program(A_ext, seeds, i0, n_steps, last_split,
+def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
                    assign, labels_w, W_slab, pri, pop, leaf,
                    opts, fdtype, unbalanced, widths, seg,
-                   restarts=1, size_pop=False):
+                   restarts=1, size_pop=False, do_root=False,
+                   max_terms=0):
     """Run up to `n_steps` (<= seg) splits on device.
 
     Step s handles split i = i0 + s: pop the max-pop-priority leaf
@@ -332,12 +378,51 @@ def _chain_program(A_ext, seeds, i0, n_steps, last_split,
         return ((assign, labels_w, W_slab, pri, pop, leaf,
                  committed, bailed, done), ys)
 
+    row_w = 8 + 2 * nw
+    bailed0 = jnp.zeros((), jnp.bool_)
+    if do_root:
+        # the root factorization rides IN this program: its W goes to
+        # the virtual-root slab row, its split labels to labels_w[-1]
+        # (step 0 partitions from them), and [succ, iters, bits] is
+        # prepended to ys so the host replay commits it without a
+        # separate dispatch+fetch (~90 ms of the 12c wall, batch27)
+        rW, rsucc, riters, rleft = _root_solve(
+            A_ext, root_seed, opts, fdtype, restarts
+        )
+        W_slab = W_slab.at[-1].set(rW)
+        labels_w = labels_w.at[-1].set(_pack_bits_dev(rleft))
+        root_row = jnp.zeros((row_w,), jnp.float32)
+        root_row = root_row.at[0].set(rsucc.astype(jnp.float32))
+        root_row = root_row.at[1].set(riters.astype(jnp.float32))
+        root_row = jax.lax.dynamic_update_slice(
+            root_row,
+            jax.lax.bitcast_convert_type(
+                _pack_bits_dev(rleft), jnp.float32),
+            (8,),
+        )
+        bailed0 = ~rsucc
+    else:
+        root_row = jnp.zeros((row_w,), jnp.float32)
+
     carry0 = (assign, labels_w, W_slab, pri, pop, leaf,
-              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+              jnp.zeros((), jnp.int32), bailed0,
               jnp.zeros((), jnp.bool_))
     xs = (jnp.arange(seg, dtype=jnp.int32), seeds)
     carry, ys = jax.lax.scan(step, carry0, xs)
-    return carry, ys
+    out = jnp.concatenate([root_row, ys.ravel()])
+    if max_terms > 0:
+        # rank every slab column's top terms in THIS fetch — the final
+        # tree.compute_top_terms then needs no device round trip for
+        # chain-committed nodes.  Must match tree._rank_topic_columns
+        # exactly (stable argsort of the negation) for bit parity.
+        flat = jnp.swapaxes(carry[2], 1, 2).reshape(-1, m)
+        tt = jnp.argsort(-flat, axis=1, stable=True)[:, :max_terms]
+        out = jnp.concatenate([
+            out,
+            jax.lax.bitcast_convert_type(
+                tt.astype(jnp.int32), jnp.float32).ravel(),
+        ])
+    return carry, out
 
 
 @jax.jit
@@ -361,20 +446,19 @@ class ChainDriver:
         self.holder = SlabHolder()
         self._state = None       # (assign, labels_w, pri, pop, leaf) dev
         self._dirty = True       # host tree changed since last sync
-        # the root rides as a VIRTUAL node at slab index nc: split 0 is
-        # an ordinary chain step that pops it (pop=+inf) and solves
-        # children 0/1, so a whole run needs no separate split-0 program
+        # the root rides as a VIRTUAL node at slab index nc: the root
+        # factorization itself runs inside the first segment program
+        # (attempt 1; failure bails the ladder to the host), and split 0
+        # is an ordinary chain step that pops it (pop=+inf) and solves
+        # children 0/1 — a clean run needs no separate root program.
+        # After the chain commits it, _root_W is a SlabPair view and
+        # _root_left the full-width boolean split mask; the sequential
+        # fallback (clust_hier's i == 0 branch) consumes both directly.
         self._root_W = None
         self._root_left = None
         global LAST_STATS
         LAST_STATS = {"segments": 0, "committed": 0, "bails": 0,
                       "resyncs": 0}
-
-    def set_root(self, W, left):
-        """Record the root factorization (host arrays) so split 0 can run
-        inside the chain (and the sequential fallback can replay it)."""
-        self._root_W = np.asarray(W)
-        self._root_left = np.asarray(left, dtype=bool)
 
     @staticmethod
     def available(runner, opts, mesh, checkpoint_path, interrupt_after):
@@ -405,14 +489,25 @@ class ChainDriver:
         leaf = np.zeros(nc + 1, dtype=bool)
         upload_idx, upload_val = [], []
         if tree.active_nodes == 0:
-            # pre-split-0: everything lives in the virtual root
-            assert self._root_W is not None
+            # pre-split-0: everything lives in the virtual root.  The
+            # root factors/labels are either absent (the first segment
+            # program solves the root itself), already slab-resident
+            # (SlabPair from a prior chain commit), or host arrays (a
+            # bail forced the host retry ladder).
             assign[:] = nc
             leaf[nc] = True
             pop[nc] = pri[nc] = np.inf
-            labels[nc] = _pack_bits_host(self._root_left)
-            upload_idx.append(nc)
-            upload_val.append(jnp.asarray(self._root_W, self.fdtype))
+            if self._root_left is not None:
+                labels[nc] = _pack_bits_host(self._root_left)
+            rw = self._root_W
+            if rw is not None and not (
+                isinstance(rw, SlabPair) and rw.holder is self.holder
+            ):
+                upload_idx.append(nc)
+                upload_val.append(
+                    rw.materialize() if isinstance(rw, SlabPair)
+                    else jnp.asarray(np.asarray(rw), self.fdtype)
+                )
         for q, is_leaf in enumerate(tree.is_leaf):
             node = tree.nodes[q]
             if not node.is_valid:
@@ -479,6 +574,10 @@ class ChainDriver:
             LAST_STATS["resyncs"] += 1
         LAST_STATS["segments"] += 1
 
+        # the root factorization runs INSIDE the first segment program
+        # unless a bail already forced it onto the host
+        do_root = i == 0 and self._root_W is None
+
         n_steps = min(CHAIN_SEG, (num_clusters - 1) - i)
         # pad the compiled scan length to the next power of 2 (not always
         # CHAIN_SEG): inactive steps still pay the partition/commit
@@ -489,14 +588,16 @@ class ChainDriver:
             seg <<= 1
         seg = min(seg, CHAIN_SEG)
         state_pre = rng.get_state()
+        root_seed = np.int32(runner.inits.next_seed() if do_root else 0)
         seeds = np.empty((seg, 2), dtype=np.int32)
         for s in range(seg):
             seeds[s, 0] = runner.inits.next_seed()
             seeds[s, 1] = runner.inits.next_seed()
 
         assign, labels_w, pri, pop, leaf = self._state
+        mt = int(opts.maxterms)
         carry, ys = _chain_program(
-            runner._A_ext, jnp.asarray(seeds),
+            runner._A_ext, jnp.asarray(seeds), root_seed,
             jnp.asarray(i, jnp.int32), jnp.asarray(n_steps, jnp.int32),
             jnp.asarray(num_clusters - 2, jnp.int32),
             assign, labels_w, self.holder.current, pri, pop, leaf,
@@ -504,11 +605,45 @@ class ChainDriver:
             unbalanced=float(opts.unbalanced), widths=self.widths,
             seg=seg, restarts=runner.restarts,
             size_pop=(opts.priority_method == "size_ndcg"),
+            do_root=do_root, max_terms=mt,
         )
-        ys_h = np.asarray(ys)  # ONE fetch for the whole segment
+        flat = np.asarray(ys)  # ONE fetch: root row + step rows + terms
         (assign, labels_w, W_slab, pri, pop, leaf, _, _, _) = carry
         self.holder.current = W_slab
         self._state = (assign, labels_w, pri, pop, leaf)
+
+        row_w = 8 + 2 * self.nw
+        rrow = flat[:row_w]
+        ys_h = flat[row_w:row_w * (seg + 1)].reshape(seg, row_w)
+        if mt > 0:
+            tt = (np.ascontiguousarray(flat[row_w * (seg + 1):],
+                                       dtype=np.float32)
+                  .view(np.int32).reshape(self.nc + 1, 2, mt))
+            # consumed by Tree.compute_top_terms for slab-backed nodes
+            self.holder.topterms = tt
+
+        root_consumed = 0
+        if do_root:
+            nmf_opts = opts.nmf_opts
+            if rrow[0] > 0.5:
+                self._root_W = SlabPair(self.holder, self.nc)
+                self._root_left = _unpack_bits_host(
+                    rrow[8:8 + self.nw].astype(np.float32)
+                    .view(np.uint32), self.n)
+                root_consumed = 1
+                stats.nmf_count += 1
+                riters = int(rrow[1])
+                stats.iter_count += riters
+                if riters >= nmf_opts.max_iter:
+                    stats.max_count += 1
+            else:
+                # root attempt 1 failed on device: hand the whole retry
+                # ladder to the host (it redraws the same seed for
+                # attempt 1, preserving the sequential stream)
+                rng.set_state(state_pre)
+                self._dirty = True
+                LAST_STATS["bails"] += 1
+                return i, "bail"
 
         # --- replay committed splits through the host tree ---------------
         nmf_opts = opts.nmf_opts
@@ -569,7 +704,7 @@ class ChainDriver:
 
         # roll the RNG stream back to exactly the consumed draws
         rng.set_state(state_pre)
-        for _ in range(2 * replayed):
+        for _ in range(root_consumed + 2 * replayed):
             runner.inits.next_seed()
 
         if outcome == "ok" and replayed < n_steps:

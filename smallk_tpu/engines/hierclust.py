@@ -1037,33 +1037,17 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     else:
         tree = Tree()
         tree.init(num_clusters, m, n)
-
-        # factor the root (<= 3 attempts)
-        ns = runner.solve(None)
-        if not ns.ok:
-            raise RuntimeError(
-                "HierNMF2: root node factorization failed after three "
-                "attempts"
-            )
-        W, left = ns.W, ns.left
-
         W_buffer = [None] * node_count
         L_buffer = [None] * node_count
-        if checkpoint_path:
-            _save_hier_checkpoint(
-                checkpoint_path, tree, W_buffer, L_buffer, rng, stats, 0,
-                root_W=W, root_left=left, config=ckpt_config,
-                init_counter=inits.counter,
-            )
 
     split_index = 0
 
     # multi-split device chain (engines/hier_chain.py): on the common
-    # fast path, segments of splits run as ONE device program — one
-    # dispatch + one fetch per CHAIN_SEG splits instead of per split.
-    # Any deviation (trial-split outliers, tiny/huge subsets, solver
-    # failure) bails to this sequential loop for one split, then the
-    # chain resumes.
+    # fast path, the root factorization and segments of splits run as
+    # ONE device program — one dispatch + one fetch per CHAIN_SEG
+    # splits instead of per split.  Any deviation (trial-split
+    # outliers, tiny/huge subsets, solver failure) bails to this
+    # sequential loop for one split, then the chain resumes.
     from . import hier_chain
 
     chain = None
@@ -1071,7 +1055,23 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                                         checkpoint_path,
                                         _interrupt_after):
         chain = hier_chain.ChainDriver(runner, node_count)
-        chain.set_root(W, left)  # split 0 runs inside the chain
+
+    if W is None and start_i == 0 and chain is None:
+        # factor the root eagerly (<= 3 attempts); under the chain the
+        # root rides in the first segment program instead
+        ns = runner.solve(None)
+        if not ns.ok:
+            raise RuntimeError(
+                "HierNMF2: root node factorization failed after three "
+                "attempts"
+            )
+        W, left = ns.W, ns.left
+        if checkpoint_path and not os.path.exists(checkpoint_path):
+            _save_hier_checkpoint(
+                checkpoint_path, tree, W_buffer, L_buffer, rng, stats, 0,
+                root_W=W, root_left=left, config=ckpt_config,
+                init_counter=inits.counter,
+            )
 
     try:
         i = start_i
@@ -1094,6 +1094,23 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
             force_sequential = False
 
             if i == 0:
+                if W is None:
+                    # a chain bail landed split 0 here: consume the
+                    # chain-committed root, or (root attempt 1 failed on
+                    # device) run the host retry ladder
+                    if chain is not None and chain._root_W is not None:
+                        W, left = chain._root_W, chain._root_left
+                    else:
+                        ns = runner.solve(None)
+                        if not ns.ok:
+                            raise RuntimeError(
+                                "HierNMF2: root node factorization "
+                                "failed after three attempts"
+                            )
+                        W, left = ns.W, ns.left
+                        if chain is not None:
+                            chain._root_W = W
+                            chain._root_left = np.asarray(left, bool)
                 min_priority = np.inf
                 tree.split_root(W, labels=left)
             else:

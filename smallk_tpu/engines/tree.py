@@ -23,10 +23,14 @@ class SlabHolder:
     object and reads `.current` at consumption time, so old slab
     versions are freed instead of being pinned by per-node views."""
 
-    __slots__ = ("current",)
+    __slots__ = ("current", "topterms")
 
     def __init__(self, current=None):
         self.current = current
+        # (nodes+1, 2, mt) int32 — per-column top-term indices of the
+        # current slab, computed inside the chain's segment fetch so the
+        # final compute_top_terms needs no extra device round trip
+        self.topterms = None
 
 
 def _unwrap(buf):
@@ -316,11 +320,25 @@ class Tree:
         # would cost a d2h round trip per node.  The column slices happen
         # INSIDE the jitted program (DeviceColumn defers them), so the
         # whole ranking is one dispatch regardless of node count.
-        dev = [
-            node for node in self.nodes
-            if (node.is_valid and node.topic_vector is not None
-                and not isinstance(node.topic_vector, np.ndarray))
-        ]
+        dev = []
+        for node in self.nodes:
+            tv = node.topic_vector
+            if (not node.is_valid or tv is None
+                    or isinstance(tv, np.ndarray)):
+                continue
+            # chain-committed nodes: the segment fetch already carried
+            # this slab column's ranking (same stable argsort — bit
+            # identical); consume it instead of a device round trip
+            if (isinstance(tv, DeviceColumn) and tv.node is not None
+                    and isinstance(tv.buf, SlabHolder)
+                    and tv.buf.topterms is not None
+                    and tv.buf.topterms.shape[2] >= max_terms):
+                node.term_indices = (
+                    tv.buf.topterms[tv.node, tv.col, :max_terms]
+                    .astype(np.int32)
+                )
+                continue
+            dev.append(node)
         if dev:
             bufs, rows = _gather_columns(dev)
             order = np.asarray(_rank_topic_columns(bufs, rows, max_terms))

@@ -448,6 +448,12 @@ class TestMultiSplitChain:
             if n1.docs is not None or n2.docs is not None:
                 np.testing.assert_array_equal(n1.docs, n2.docs,
                                               err_msg=f"node {q} docs")
+            t1 = getattr(n1, "term_indices", None)
+            t2 = getattr(n2, "term_indices", None)
+            assert (t1 is None) == (t2 is None), f"node {q} terms"
+            if t1 is not None:
+                np.testing.assert_array_equal(t1, t2,
+                                              err_msg=f"node {q} terms")
         assert stats.nmf_count == ref_stats.nmf_count
         assert stats.iter_count == ref_stats.iter_count
         assert stats.max_count == ref_stats.max_count
@@ -568,6 +574,24 @@ class TestMultiSplitChain:
         # densified by as_aop and use it too)
         clust_hier(A, opts, Random(21))
         assert len(calls) >= 1
+
+    def test_root_runs_in_chain(self, monkeypatch):
+        """On the clean path the root factorization rides inside the
+        first segment program — the host serial solve must never run."""
+        from smallk_tpu.engines import hierclust as hc
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+
+        A, _ = synthetic_term_doc_corpus(700, 1400, 10, seed=5)
+        A = np.asarray(A.todense()).astype(np.float64)
+
+        def boom(self, subset=None, w_parent=None, max_attempts=3):
+            raise AssertionError("host serial solve called on the "
+                                 "clean chain path")
+
+        monkeypatch.setattr(hc._Rank2Runner, "solve", boom)
+        tree, stats = clust_hier(A, _clust_opts(8), Random(21))
+        assert int(np.sum(tree.is_leaf)) == 8
+        assert stats.nmf_count >= 15  # root + 7 pairs
 
     @pytest.mark.parametrize("dtype", ["float64", "float32"])
     def test_bit_identical_graph_options(self, monkeypatch, dtype):
