@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--assignfile", default="")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dtype", default="float32")
+    # extension beyond the reference CLI: shard A/W/H over a
+    # (terms, docs) device mesh, e.g. --mesh 1x8
+    p.add_argument("--mesh", default="", metavar="TxD")
     return p
 
 
@@ -70,8 +73,21 @@ def main(argv=None) -> int:
         verbose=bool(args.verbose), normalize=True, dtype=args.dtype,
     )
 
+    mesh = None
+    if args.mesh:
+        import jax as _jax
+
+        from ..parallel.mesh import make_mesh
+
+        shape = tuple(int(v) for v in args.mesh.lower().split("x"))
+        if len(shape) != 2:
+            raise ValueError("--mesh must be TxD, e.g. 1x8")
+        mesh = make_mesh(shape,
+                         devices=_jax.devices()[: shape[0] * shape[1]])
+
     stats = NmfStats()
-    W, H, assignments, fuzzy, ok = run_flatclust(A, W0, H0, opts, stats)
+    W, H, assignments, fuzzy, ok = run_flatclust(A, W0, H0, opts, stats,
+                                                 mesh=mesh)
     if not ok:
         print("flatclust: solver failure", file=sys.stderr)
         return 1
@@ -94,5 +110,13 @@ def main(argv=None) -> int:
     return 0
 
 
+def entry(argv=None) -> int:
+    """Console entry point: main() behind the Result exit-code boundary
+    (reference mains return Result ints, common/include/nmf.hpp:17-26)."""
+    from . import run_cli
+
+    return run_cli(main, argv)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(entry())

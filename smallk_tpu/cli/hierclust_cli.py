@@ -39,6 +39,29 @@ def build_parser() -> argparse.ArgumentParser:
     # (spectral = NNDSVD from the node's top-2 singular pair)
     p.add_argument("--init", default="random",
                    choices=["random", "spectral"])
+    # extensions beyond the reference CLI (engine features the library
+    # API exposes; reference scope anchor: hierclust/src/command_line.cpp)
+    p.add_argument("--checkpoint", default="", metavar="PATH",
+                   help="checkpoint file: save engine state after every "
+                        "split and resume from it if it exists "
+                        "(preemption-safe runs)")
+    p.add_argument("--restarts", type=int, default=1, metavar="R",
+                   help="best-of-R random restarts per node "
+                        "factorization (R>1 recommended for graphs)")
+    p.add_argument("--priority", default="ndcg",
+                   choices=["ndcg", "size_ndcg"],
+                   help="leaf pop policy: raw NDCG (reference) or "
+                        "size-scaled NDCG (graph workloads)")
+    p.add_argument("--graph", action="store_true",
+                   help="treat the input as a graph adjacency matrix: "
+                        "symmetric D^-1/2 A D^-1/2 normalization + the "
+                        "graph clustering presets (size_ndcg pop, "
+                        "best-of-3 restarts) unless overridden")
+    p.add_argument("--mesh", default="", metavar="TxD",
+                   help="shard A over a (terms, docs) device mesh of "
+                        "this shape, e.g. 1x8 (all available devices "
+                        "when the product matches); empty = single "
+                        "device")
     return p
 
 
@@ -52,10 +75,37 @@ def main(argv=None) -> int:
     from ..io.loader import load_matrix, load_strings
     from ..io.writers import make_hierclust_writer
 
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
 
     A = load_matrix(args.matrixfile)
     dictionary = load_strings(args.dictfile)
+
+    restarts = args.restarts
+    priority = args.priority
+    if args.graph:
+        # graph preset (engines/graph.py): symmetric degree
+        # normalization + size-scaled pop + best-of-3 restarts, unless
+        # the user set those flags explicitly
+        from ..engines.graph import normalized_adjacency
+
+        A = normalized_adjacency(A)
+        if restarts == parser.get_default("restarts"):
+            restarts = 3
+        if priority == parser.get_default("priority"):
+            priority = "size_ndcg"
+
+    mesh = None
+    if args.mesh:
+        import jax as _jax
+
+        from ..parallel.mesh import make_mesh
+
+        shape = tuple(int(v) for v in args.mesh.lower().split("x"))
+        if len(shape) != 2:
+            raise ValueError("--mesh must be TxD, e.g. 1x8")
+        mesh = make_mesh(shape, devices=_jax.devices()[: shape[0] * shape[1]])
+
     m, n = A.shape
     k = args.clusters
 
@@ -83,13 +133,18 @@ def main(argv=None) -> int:
         flat=bool(args.flat),
         initdir=args.initdir or None,
         init_method=args.init,
+        restarts=restarts,
+        priority_method=priority,
     )
 
     import time
 
     stats = ClustStats()
     t0 = time.perf_counter()
-    tree, stats, flat = run_hier_nmf2(A, opts, Random(args.seed), stats)
+    tree, stats, flat = run_hier_nmf2(
+        A, opts, Random(args.seed), stats, mesh=mesh,
+        checkpoint_path=args.checkpoint or None,
+    )
     elapsed = time.perf_counter() - t0
     converged = stats.nmf_count - stats.max_count
     print(f"{converged}/{stats.nmf_count} factorizations converged.")
@@ -109,5 +164,13 @@ def main(argv=None) -> int:
     return 0
 
 
+def entry(argv=None) -> int:
+    """Console entry point: main() behind the Result exit-code boundary
+    (reference mains return Result ints, common/include/nmf.hpp:17-26)."""
+    from . import run_cli
+
+    return run_cli(main, argv)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(entry())

@@ -80,5 +80,13 @@ def main(argv=None) -> int:
     return 0
 
 
+def entry(argv=None) -> int:
+    """Console entry point: main() behind the Result exit-code boundary
+    (reference mains return Result ints, common/include/nmf.hpp:17-26)."""
+    from . import run_cli
+
+    return run_cli(main, argv)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(entry())

@@ -135,18 +135,22 @@ def run_hier_nmf2(
     rng,
     stats=None,
     mesh=None,
+    checkpoint_path=None,
 ):
     """Full hierarchical workload: tree + optional flat refinement.
 
     Reference: RunHierNmf2 (hierclust/include/run_hier_nmf2.hpp:17-76).
     Returns (tree, stats, flat) where flat is None or a dict with
-    W, H, assignments, fuzzy.  `mesh` distributes both phases.
+    W, H, assignments, fuzzy.  `mesh` distributes both phases;
+    `checkpoint_path` makes the tree phase preemption-safe (resumes
+    from an existing checkpoint).
     """
     from ..common.options import ClustStats
     from .hierclust import clust_flat, clust_hier
 
     stats = stats if stats is not None else ClustStats()
-    tree, stats = clust_hier(A, opts, rng, stats, mesh=mesh)
+    tree, stats = clust_hier(A, opts, rng, stats, mesh=mesh,
+                             checkpoint_path=checkpoint_path)
 
     flat = None
     if opts.flat:

@@ -19,10 +19,10 @@ pop priority +inf, so a clean run is root-solve + ceil((k-1)/S)
 segment programs and nothing else.
 
 Bit-parity with the sequential engine is by construction:
-  - the per-child solve body is the same draw + `_nmf_solve_impl` +
-    priority/gate computation the sequential fused pair program runs
-    (hierclust._gather_body/_solve_and_pack), at the same power-of-2
-    bucket width max(512, next_pow2(max(|left|, |right|)));
+  - the per-child solve body IS the sequential fused pair program's:
+    both trace hierclust._solve_from_draw (draw + solve loop +
+    priority/gate computation), at the same power-of-2 bucket width
+    max(512, next_pow2(max(|left|, |right|)));
   - initializer seeds come from the same host MT19937 stream, pre-drawn
     per segment and rolled back to exactly the consumed count;
   - the device pop (argmax over leaf pop-priorities, first-max
@@ -40,9 +40,9 @@ borderline split bails so the host's f64 gate decides, which can cost a
 redundant redo but can never commit a split the reference would have
 trial-dropped.
 
-The chain is used only on the common fast path: dense A, random init,
-restarts == 1, "ndcg" pop policy, no initdir, no mesh, no checkpointing
-(checkpoint cadence is per split; chain mode would coarsen it).
+The chain is used only on the common fast path: dense A, random or
+spectral init, no initdir, no mesh, no checkpointing (checkpoint
+cadence is per split; chain mode would coarsen it).
 """
 
 from __future__ import annotations
@@ -55,8 +55,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.aop import DenseAOp
-from ..solvers.solve import _nmf_solve_impl
-from .priority import compute_priority_device
 from .tree import SlabHolder, SlabPair
 
 # Module knobs (benchmarking / tests)
@@ -114,14 +112,16 @@ def _pack_bits_host(full: np.ndarray) -> np.ndarray:
 
 
 def _child_solve(A_ext, idx, seed, wp, n_full, opts, fdtype,
-                 restarts=1):
+                 restarts=1, init="random"):
     """One child factorization at bucket width idx.shape[0].
 
-    Mirrors hierclust._gather_body (init="random") + _solve_and_pack /
-    _solve_best_of exactly — same threefry draw, same solve program,
-    same best-of-R objective, same priority gates — but scatters the
-    split labels back to full doc width for the chain's partition
-    bookkeeping."""
+    Traces hierclust._solve_from_draw — the SAME solve body the
+    sequential fused pair program compiles (same threefry draw, same
+    solve loop, same best-of-R objective and priority gates; VERDICT r3
+    #3) — then scatters the split labels back to full doc width for the
+    chain's partition bookkeeping."""
+    from .hierclust import _solve_from_draw
+
     m = A_ext.shape[0]
     cols = jnp.take(A_ext, idx, axis=1)
     op = DenseAOp(cols)
@@ -134,38 +134,10 @@ def _child_solve(A_ext, idx, seed, wp, n_full, opts, fdtype,
         H0 = jnp.take(Hf, idx, axis=1, mode="fill", fill_value=0)
         return W0, H0
 
-    root = jax.random.PRNGKey(seed)
-    if restarts == 1:
-        W0, H0 = draw(root)
-        res = _nmf_solve_impl(op, W0, H0, opts, False, None)
-        Wb, Hb = res.W, res.H
-        succ, iters = res.success, res.iterations
-    else:
-        # best-of-R by the rank-2 reconstruction objective — the exact
-        # computation of hierclust._solve_best_of
-        W0s, H0s = jax.vmap(draw)(jax.random.split(root, restarts))
-        res = jax.vmap(
-            lambda w0, h0: _nmf_solve_impl(op, w0, h0, opts, False, None)
-        )(W0s, H0s)
-
-        def objective(W, H, ok):
-            WtW = jnp.matmul(W.T, W)
-            HHt = jnp.matmul(H, H.T)
-            WtA = op.mm_tn(W)
-            s = jnp.sum(WtW * HHt) - 2.0 * jnp.sum(WtA * H)
-            return jnp.where(ok, s, jnp.asarray(jnp.inf, s.dtype))
-
-        scores = jax.vmap(objective)(res.W, res.H, res.success)
-        best = jnp.argmin(scores)  # ties -> lowest restart index
-        Wb, Hb = res.W[best], res.H[best]
-        succ = jnp.any(res.success)
-        iters = res.iterations[best]
-
-    left = Hb[0, :] > Hb[1, :]
-    has0 = jnp.any(left & valid)
-    has1 = jnp.any((~left) & valid)
-    pr = compute_priority_device(wp, Wb)
-    pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
+    Wb, _Hb, succ, iters, pr, left = _solve_from_draw(
+        op, valid, draw, jax.random.PRNGKey(seed), wp, opts, init,
+        restarts,
+    )
     left_full = jnp.zeros((n_full,), jnp.bool_).at[idx].set(
         jnp.where(valid, left, False), mode="drop"
     )
@@ -175,61 +147,44 @@ def _child_solve(A_ext, idx, seed, wp, n_full, opts, fdtype,
             pr.astype(jnp.float32), left_full, nl, nr)
 
 
-def _root_solve(A_ext, seed, opts, fdtype, restarts):
+def _root_solve(A_ext, seed, opts, fdtype, restarts, init="random"):
     """Root factorization at FULL width inside the chain program.
 
     Replicates the serial path (hierclust._Rank2Runner.solve(None) ->
-    _fused_masked_solve idx=None) exactly: one host seed, W0 (m, 2) and
-    H0 (2, n) drawn directly (no gather), same solve / best-of-R body.
+    _fused_masked_solve idx=None) exactly by tracing the same
+    hierclust._solve_from_draw body: one host seed, W0 (m, 2) and
+    H0 (2, n) drawn directly (no gather).
     Returns (W, success, iters, left_full)."""
+    from .hierclust import _solve_from_draw
+
     m = A_ext.shape[0]
     n = A_ext.shape[1] - 1
     op = DenseAOp(A_ext[:, :n])
+    valid = jnp.ones((n,), jnp.bool_)
 
     def draw(key):
         kW, kH = jax.random.split(key)
         return (jax.random.uniform(kW, (m, 2), fdtype),
                 jax.random.uniform(kH, (2, n), fdtype))
 
-    root = jax.random.PRNGKey(seed)
-    if restarts == 1:
-        W0, H0 = draw(root)
-        res = _nmf_solve_impl(op, W0, H0, opts, False, None)
-        Wb, Hb = res.W, res.H
-        succ, iters = res.success, res.iterations
-    else:
-        W0s, H0s = jax.vmap(draw)(jax.random.split(root, restarts))
-        res = jax.vmap(
-            lambda w0, h0: _nmf_solve_impl(op, w0, h0, opts, False, None)
-        )(W0s, H0s)
-
-        def objective(W, H, ok):
-            WtW = jnp.matmul(W.T, W)
-            HHt = jnp.matmul(H, H.T)
-            WtA = op.mm_tn(W)
-            s = jnp.sum(WtW * HHt) - 2.0 * jnp.sum(WtA * H)
-            return jnp.where(ok, s, jnp.asarray(jnp.inf, s.dtype))
-
-        scores = jax.vmap(objective)(res.W, res.H, res.success)
-        best = jnp.argmin(scores)
-        Wb, Hb = res.W[best], res.H[best]
-        succ = jnp.any(res.success)
-        iters = res.iterations[best]
-
-    left = Hb[0, :] > Hb[1, :]
+    Wb, _Hb, succ, iters, _pr, left = _solve_from_draw(
+        op, valid, draw, jax.random.PRNGKey(seed),
+        jnp.zeros((m,), fdtype), opts, init, restarts,
+    )
     return Wb, succ, iters.astype(jnp.int32), left
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("opts", "fdtype", "unbalanced", "widths", "seg",
-                     "restarts", "size_pop", "do_root", "max_terms"),
+                     "restarts", "size_pop", "do_root", "max_terms",
+                     "init"),
 )
 def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
                    assign, labels_w, W_slab, pri, pop, leaf,
                    opts, fdtype, unbalanced, widths, seg,
                    restarts=1, size_pop=False, do_root=False,
-                   max_terms=0):
+                   max_terms=0, init="random"):
     """Run up to `n_steps` (<= seg) splits on device.
 
     Step s handles split i = i0 + s: pop the max-pop-priority leaf
@@ -309,7 +264,8 @@ def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
                 ])
                 return jax.vmap(
                     lambda idx, sd, wpc: _child_solve(
-                        A_ext, idx, sd, wpc, n, opts, fdtype, restarts
+                        A_ext, idx, sd, wpc, n, opts, fdtype, restarts,
+                        init,
                     )
                 )(idx2, seed2, wp.T)
             return br
@@ -387,7 +343,7 @@ def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
         # prepended to ys so the host replay commits it without a
         # separate dispatch+fetch (~90 ms of the 12c wall, batch27)
         rW, rsucc, riters, rleft = _root_solve(
-            A_ext, root_seed, opts, fdtype, restarts
+            A_ext, root_seed, opts, fdtype, restarts, init
         )
         W_slab = W_slab.at[-1].set(rW)
         labels_w = labels_w.at[-1].set(_pack_bits_dev(rleft))
@@ -466,7 +422,7 @@ class ChainDriver:
             CHAIN
             and runner._A_ext is not None
             and runner.inits.initdir is None
-            and opts.init_method == "random"
+            and opts.init_method in ("random", "spectral")
             and opts.priority_method in ("ndcg", "size_ndcg")
             and mesh is None
             and checkpoint_path is None
@@ -605,7 +561,7 @@ class ChainDriver:
             unbalanced=float(opts.unbalanced), widths=self.widths,
             seg=seg, restarts=runner.restarts,
             size_pop=(opts.priority_method == "size_ndcg"),
-            do_root=do_root, max_terms=mt,
+            do_root=do_root, max_terms=mt, init=runner.init,
         )
         flat = np.asarray(ys)  # ONE fetch: root row + step rows + terms
         (assign, labels_w, W_slab, pri, pop, leaf, _, _, _) = carry

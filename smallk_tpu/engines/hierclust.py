@@ -140,17 +140,86 @@ class _NodeSolve(NamedTuple):
     ok: bool
 
 
-def _pack_node_result(W, H, success, iterations, valid, w_parent):
-    """Shared fused-program tail: split labels + NDCG priority, packed
-    for ONE small d2h fetch.
+def _solve_from_draw(op, valid, draw, root, w_parent, opts, init,
+                     restarts):
+    """THE shared node-solve body: initializer draw(s) + (optional
+    spectral start) + solve loop + split labels + gated NDCG priority.
+
+    Every device path — the sequential fused gather/mask programs here
+    AND the multi-split chain's per-step solves (engines/hier_chain.py)
+    — traces THIS function, so both compile the same solve computation
+    (they can still fuse differently inside scan/switch, but there is a
+    single source of truth for the arithmetic).
+
+    `draw(key) -> (W0, H0)` is the path-specific initializer closure
+    (gathered vs full-width H); `root` the PRNGKey.  With restarts > 1
+    all R random starts run as ONE vmapped solve and the restart with
+    the lowest rank-2 reconstruction objective wins; the objective is
+    ||A_sub - WH||_F^2 up to the constant ||A_sub||^2:
+    tr((W'W)(HH')) - 2 <W'A, H>.  Failed restarts score +inf; the node
+    fails only if every restart fails (then the reference's retry
+    ladder takes over on the host).
+
+    Returns (W, H, success, iterations, priority, left).
+    """
+    from ..solvers.rank2 import spectral_init_rank2
+
+    if restarts == 1:
+        W0, H0 = draw(root)
+        pg0 = None
+        # (a "parent" warm start — both W0 columns near the parent topic
+        # vector — was measured and MAKES ITERATION COUNTS WORSE: the
+        # true solution is parent +- the split direction, so a
+        # parent-cone start is near-collinear and ill-conditions W'W.
+        # The principled version of that idea is exactly the spectral
+        # option below, which finds the split direction as the second
+        # singular vector.)
+        if init == "spectral":
+            # tolerance stays anchored to the random-start PG_1 scale; a
+            # degenerate spectral pair falls back to the random start
+            pg0 = reference_pg1(op, W0, H0, opts)
+            W0s, H0s = spectral_init_rank2(op, H0)
+            good = jnp.all(jnp.isfinite(W0s)) & jnp.all(
+                jnp.linalg.norm(W0s, axis=0) > 0
+            )
+            W0 = jnp.where(good, W0s, W0)
+            H0 = jnp.where(good, H0s, H0)
+        res = _nmf_solve_impl(op, W0, H0, opts, False, pg0)
+        Wb, Hb = res.W, res.H
+        succ, iters = res.success, res.iterations
+    else:
+        W0s, H0s = jax.vmap(draw)(jax.random.split(root, restarts))
+        res = jax.vmap(
+            lambda w0, h0: _nmf_solve_impl(op, w0, h0, opts, False, None)
+        )(W0s, H0s)
+
+        def objective(W, H, ok):
+            WtW = jnp.matmul(W.T, W)
+            HHt = jnp.matmul(H, H.T)
+            WtA = op.mm_tn(W)
+            s = jnp.sum(WtW * HHt) - 2.0 * jnp.sum(WtA * H)
+            return jnp.where(ok, s, jnp.asarray(jnp.inf, s.dtype))
+
+        scores = jax.vmap(objective)(res.W, res.H, res.success)
+        best = jnp.argmin(scores)  # ties -> lowest restart index
+        Wb, Hb = res.W[best], res.H[best]
+        succ = jnp.any(res.success)
+        iters = res.iterations[best]
+
+    left = Hb[0, :] > Hb[1, :]
+    has0 = jnp.any(left & valid)
+    has1 = jnp.any((~left) & valid)
+    pr = compute_priority_device(w_parent, Wb)
+    pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
+    return Wb, Hb, succ, iters, pr, left
+
+
+def _pack_node_result(W, H, success, iterations, pr, left):
+    """Sequential fused-program tail: pack the solve outcome for ONE
+    small d2h fetch.
 
     Packed layout: [success, iterations, priority, left_0..left_{nb-1}].
     """
-    left = H[0, :] > H[1, :]
-    has0 = jnp.any(left & valid)
-    has1 = jnp.any((~left) & valid)
-    pr = compute_priority_device(w_parent, W)
-    pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
     # split labels ride the packed fetch as BITS (32 cols per f32 lane,
     # bitcast) — at bucket width 8192 that is a 1 KB fetch instead of
     # 32 KB, which matters at ~12 MB/s host<->device bandwidth
@@ -172,66 +241,8 @@ def _pack_node_result(W, H, success, iterations, valid, w_parent):
     return W, H, packed
 
 
-def _solve_and_pack(op, valid, W0, H0, w_parent, opts, init):
-    """Single-start node solve: (optional spectral start) + solve loop +
-    packed tail."""
-    from ..solvers.rank2 import spectral_init_rank2
-
-    pg0 = None
-    # (a "parent" warm start — both W0 columns near the parent topic
-    # vector — was measured and MAKES ITERATION COUNTS WORSE: the true
-    # solution is parent +- the split direction, so a parent-cone start
-    # is near-collinear and ill-conditions W'W.  The principled version
-    # of that idea is exactly the spectral option below, which finds the
-    # split direction as the second singular vector.)
-    if init == "spectral":
-        # tolerance stays anchored to the random-start PG_1 scale; a
-        # degenerate spectral pair falls back to the random start
-        pg0 = reference_pg1(op, W0, H0, opts)
-        W0s, H0s = spectral_init_rank2(op, H0)
-        good = jnp.all(jnp.isfinite(W0s)) & jnp.all(
-            jnp.linalg.norm(W0s, axis=0) > 0
-        )
-        W0 = jnp.where(good, W0s, W0)
-        H0 = jnp.where(good, H0s, H0)
-    res = _nmf_solve_impl(op, W0, H0, opts, False, pg0)
-    return _pack_node_result(
-        res.W, res.H, res.success, res.iterations, valid, w_parent
-    )
-
-
-def _solve_best_of(op, valid, W0s, H0s, w_parent, opts):
-    """Best-of-R node solve (ClustOptions.restarts > 1): all R random
-    starts run as ONE vmapped solve program; the restart with the lowest
-    rank-2 reconstruction objective wins.
-
-    The objective is ||A_sub - WH||_F^2 up to the constant ||A_sub||^2
-    (identical across restarts):  tr((W'W)(HH')) - 2 <W'A, H>.  One extra
-    W'A product per restart — negligible next to the solve loop.  Failed
-    restarts score +inf; the node fails only if every restart fails
-    (then the reference's retry ladder takes over on the host).
-    """
-    res = jax.vmap(
-        lambda w0, h0: _nmf_solve_impl(op, w0, h0, opts, False, None)
-    )(W0s, H0s)
-
-    def objective(W, H, ok):
-        WtW = jnp.matmul(W.T, W)
-        HHt = jnp.matmul(H, H.T)
-        WtA = op.mm_tn(W)
-        s = jnp.sum(WtW * HHt) - 2.0 * jnp.sum(WtA * H)
-        return jnp.where(ok, s, jnp.asarray(jnp.inf, s.dtype))
-
-    scores = jax.vmap(objective)(res.W, res.H, res.success)
-    best = jnp.argmin(scores)  # ties -> lowest restart index
-    return _pack_node_result(
-        res.W[best], res.H[best], jnp.any(res.success),
-        res.iterations[best], valid, w_parent,
-    )
-
-
 def _unpack_left(ph_row: np.ndarray, count: int) -> np.ndarray:
-    """Host-side inverse of the bit-packing in _solve_and_pack: the f32
+    """Host-side inverse of the bit-packing in _pack_node_result: the f32
     lanes after the 3 scalars are bitcast uint32 words, LSB-first."""
     words = np.ascontiguousarray(ph_row[3:], dtype=np.float32)
     bits = np.unpackbits(words.view(np.uint8), bitorder="little")
@@ -255,12 +266,9 @@ def _gather_body(A_ext, idx, seed, w_parent, n_full, opts, init, fdtype,
         H0 = jnp.take(Hf, idx, axis=1, mode="fill", fill_value=0)
         return W0, H0
 
-    root = jax.random.PRNGKey(seed)
-    if restarts == 1:
-        W0, H0 = draw(root)
-        return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
-    W0s, H0s = jax.vmap(draw)(jax.random.split(root, restarts))
-    return _solve_best_of(op, valid, W0s, H0s, w_parent, opts)
+    out = _solve_from_draw(op, valid, draw, jax.random.PRNGKey(seed),
+                           w_parent, opts, init, restarts)
+    return _pack_node_result(*out)
 
 
 @functools.partial(
@@ -310,12 +318,9 @@ def _fused_masked_solve(a_op, idx, seed, w_parent, opts, init, fdtype,
         return (jax.random.uniform(kW, (m, 2), fdtype),
                 jax.random.uniform(kH, (2, n), fdtype))
 
-    root = jax.random.PRNGKey(seed)
-    if restarts == 1:
-        W0, H0 = draw(root)
-        return _solve_and_pack(op, valid, W0, H0, w_parent, opts, init)
-    W0s, H0s = jax.vmap(draw)(jax.random.split(root, restarts))
-    return _solve_best_of(op, valid, W0s, H0s, w_parent, opts)
+    out = _solve_from_draw(op, valid, draw, jax.random.PRNGKey(seed),
+                           w_parent, opts, init, restarts)
+    return _pack_node_result(*out)
 
 
 class _PrefetchPool:

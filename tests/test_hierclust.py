@@ -471,6 +471,23 @@ class TestMultiSplitChain:
         # the chain must actually have carried splits (not bailed out)
         assert hier_chain.LAST_STATS["committed"] >= 5
 
+    def test_bit_identical_spectral(self, monkeypatch):
+        """Spectral init under the chain must equal sequential spectral
+        bit-for-bit: both trace hierclust._solve_from_draw (VERDICT r3
+        #1b/#3)."""
+        import dataclasses
+
+        from smallk_tpu.engines import hier_chain
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+
+        A, _ = synthetic_term_doc_corpus(700, 1400, 10, seed=5)
+        A = np.asarray(A.todense()).astype(np.float64)
+        opts = dataclasses.replace(_clust_opts(10),
+                                   init_method="spectral")
+        out = self._seq_vs_chain(A, opts, 21, 32, monkeypatch)
+        self._assert_identical(*out)
+        assert hier_chain.LAST_STATS["committed"] >= 5
+
     def test_bit_identical_f32(self, monkeypatch):
         from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
 
@@ -563,16 +580,18 @@ class TestMultiSplitChain:
                    checkpoint_path=str(tmp_path / "c.npz"))
         assert calls == []
 
-        # spectral init disables it (chain solves are random-start only)
         import dataclasses
-
-        clust_hier(A, dataclasses.replace(opts, init_method="spectral"),
-                   Random(21))
-        assert calls == []
 
         # the dense default path DOES use it (small sparse inputs are
         # densified by as_aop and use it too)
         clust_hier(A, opts, Random(21))
+        assert len(calls) >= 1
+
+        # spectral init now RUNS under the chain (VERDICT r3 #1b): the
+        # shared _solve_from_draw body handles the spectral start
+        calls.clear()
+        clust_hier(A, dataclasses.replace(opts, init_method="spectral"),
+                   Random(21))
         assert len(calls) >= 1
 
     def test_root_runs_in_chain(self, monkeypatch):
