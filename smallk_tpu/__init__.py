@@ -351,7 +351,9 @@ def LockedBufferH():
 # ---------------------------------------------------------------------------
 # Hierarchical clustering (reference smallk.cpp:737-868)
 # ---------------------------------------------------------------------------
-def _hier_nmf2_internal(generate_flat: bool, num_clusters: int) -> None:
+def _hier_nmf2_internal(generate_flat: bool, num_clusters: int,
+                        checkpoint_path=None, mesh=None, restarts=1,
+                        priority_method="ndcg") -> None:
     _require_init()
     if _state.matrix is None:
         raise RuntimeError("smallk error (HierNmf2): no matrix loaded")
@@ -385,9 +387,12 @@ def _hier_nmf2_internal(generate_flat: bool, num_clusters: int) -> None:
         num_clusters=num_clusters,
         verbose=True,
         flat=generate_flat,
+        restarts=restarts,
+        priority_method=priority_method,
     )
 
-    tree, stats, flat = run_hier_nmf2(A, opts, _state.rng)
+    tree, stats, flat = run_hier_nmf2(A, opts, _state.rng, mesh=mesh,
+                                      checkpoint_path=checkpoint_path)
     num_converged = stats.nmf_count - stats.max_count
     print(f"{num_converged}/{stats.nmf_count} factorizations converged.\n")
 
@@ -415,9 +420,21 @@ def _hier_nmf2_internal(generate_flat: bool, num_clusters: int) -> None:
         )
 
 
-def HierNmf2(num_clusters: int) -> None:
-    _hier_nmf2_internal(False, num_clusters)
+def HierNmf2(num_clusters: int, checkpoint_path=None, mesh=None,
+             restarts=1, priority_method="ndcg") -> None:
+    """Reference signature is HierNmf2(num_clusters) (smallk.hpp); the
+    keyword extensions surface this framework's engine features —
+    preemption-safe checkpointing, (terms, docs) mesh sharding,
+    best-of-R restarts, and the size_ndcg pop policy."""
+    _hier_nmf2_internal(False, num_clusters,
+                        checkpoint_path=checkpoint_path, mesh=mesh,
+                        restarts=restarts,
+                        priority_method=priority_method)
 
 
-def HierNmf2WithFlat(num_clusters: int) -> None:
-    _hier_nmf2_internal(True, num_clusters)
+def HierNmf2WithFlat(num_clusters: int, checkpoint_path=None, mesh=None,
+                     restarts=1, priority_method="ndcg") -> None:
+    _hier_nmf2_internal(True, num_clusters,
+                        checkpoint_path=checkpoint_path, mesh=mesh,
+                        restarts=restarts,
+                        priority_method=priority_method)

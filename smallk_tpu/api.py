@@ -307,10 +307,27 @@ class Hierclust(Clustering):
     def cluster(self, k, initdir="", maxterms=5, unbalanced=0.1,
                 trial_allowance=3, verbose=True, flat=0, min_iter=5,
                 max_iter=5000, tol=0.0001, max_threads=8, dtype="float32",
-                mesh=None, init_method="random"):
+                mesh=None, init_method="random", restarts=1,
+                priority_method="ndcg", checkpoint_path=None,
+                graph=False):
+        """`graph=True` applies the graph preset: symmetric D^-1/2 A
+        D^-1/2 normalization plus size_ndcg pop + best-of-3 restarts
+        unless overridden (engines/graph.py).  `checkpoint_path` makes
+        the run preemption-safe; `mesh` shards A over a (terms, docs)
+        device mesh."""
         from .engines.flatclust import run_hier_nmf2
 
-        m, n = self.A.shape
+        A = self.A
+        if graph:
+            from .engines.graph import normalized_adjacency
+
+            A = normalized_adjacency(A)
+            if restarts == 1:
+                restarts = 3
+            if priority_method == "ndcg":
+                priority_method = "size_ndcg"
+
+        m, n = A.shape
         opts = ClustOptions(
             nmf_opts=NmfOptions(
                 tol=tol, algorithm=NmfAlgorithm.RANK2,
@@ -322,11 +339,13 @@ class Hierclust(Clustering):
             maxterms=maxterms, unbalanced=unbalanced,
             trial_allowance=trial_allowance, num_clusters=k,
             verbose=verbose, flat=bool(flat), initdir=initdir or None,
-            init_method=init_method,
+            init_method=init_method, restarts=restarts,
+            priority_method=priority_method,
         )
         self._stats = ClustStats()
         self.tree, self._stats, self.flat_results = run_hier_nmf2(
-            self.A, opts, self.rng, self._stats, mesh=mesh
+            A, opts, self.rng, self._stats, mesh=mesh,
+            checkpoint_path=checkpoint_path,
         )
         self.num_clusters = k
         self.maxterms = maxterms

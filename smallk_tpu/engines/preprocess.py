@@ -109,12 +109,16 @@ def preprocess_tf(
             M0 = M0.copy()
             M0.sort_indices()
         m, n = M0.shape
-        ip, ix, tf, scores, row_keep, col_keep = _native.preprocess_full(
+        if verbose:
+            print("\nStarting iterations...")
+        out = _native.preprocess_full(
             np.asarray(M0.indptr, np.int64),
             np.asarray(M0.indices, np.int32),
             np.asarray(M0.data, np.float64),
             m, docs_per_term, terms_per_doc, max_iter, bool(boolean_mode),
         )
+        ip, ix, tf, scores, row_keep, col_keep = out[:6]
+        iter_stats = out[6] if len(out) > 6 else None
         row_keep = np.asarray(row_keep, bool)
         col_keep = np.asarray(col_keep, bool)
         shape = (int(row_keep.sum()), int(col_keep.sum()))
@@ -125,8 +129,16 @@ def preprocess_tf(
         tf_m = sp.csc_matrix((tf.astype(np.int64), ix, ip), shape=shape)
         sc_m = sp.csc_matrix((scores, ix.copy(), ip.copy()), shape=shape)
         if verbose:
-            print(f"\t[native] height: {shape[0]}, width: {shape[1]}, "
-                  f"nonzeros: {sc_m.nnz}")
+            # per-iteration term-occurrence stats with the reference's
+            # print cadence (preprocess.cpp:172,179-185)
+            if iter_stats is not None:
+                for i, (h, w, nz) in enumerate(np.asarray(iter_stats)):
+                    print(f"\t[{i + 1}] height: {h}, width: {w}, "
+                          f"nonzeros: {nz}")
+            print("Iterations finished.")
+            print(f"\tNew height: {shape[0]}")
+            print(f"\tNew width: {shape[1]}")
+            print(f"\tNew nonzero count: {sc_m.nnz}")
         return PreprocessResult(
             matrix=sc_m,
             tf_matrix=tf_m,
