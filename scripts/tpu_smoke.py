@@ -183,9 +183,67 @@ def other_algorithms():
           flush=True)
 
 
+def chain_quality_gate():
+    """Chain vs sequential ON TPU (VERDICT r3 #3).  The two engines
+    trace the same solve body (hierclust._solve_from_draw) and are
+    bit-identical on CPU, but XLA may fuse f32 arithmetic differently
+    inside the chain's scan/switch, so trajectories can diverge on
+    hardware.  Gate: the two trees' assignments must agree >= 0.95 NMI
+    AND their flat reconstruction errors (NNLS refit of H against each
+    tree's leaf topic vectors) must be within 2% relative — a silent
+    chain-quality regression fails the smoke."""
+    from smallk_tpu.common.options import (
+        ClustOptions, NmfAlgorithm, NmfOptions, NmfProgressAlgorithm,
+    )
+    from smallk_tpu.common.rng import Random
+    from smallk_tpu.engines import hier_chain
+    from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+    from smallk_tpu.engines.hierclust import clust_flat, clust_hier
+    from smallk_tpu.engines.scoring import score_clustering
+
+    nmf_opts = NmfOptions(
+        tol=1e-4, algorithm=NmfAlgorithm.RANK2,
+        prog_est_algorithm=NmfProgressAlgorithm.PG_RATIO, k=2,
+        min_iter=1, max_iter=5000, verbose=False, dtype="float32",
+        a_dtype="bfloat16", stall_patience=100,
+    )
+    A, _ = synthetic_term_doc_corpus(12411, 7984, 16, seed=11)
+    copts = ClustOptions(nmf_opts=nmf_opts, num_clusters=12,
+                         verbose=False)
+    tree_c, _ = clust_hier(A, copts, Random(2))
+    assert hier_chain.LAST_STATS["committed"] > 0, "chain did not engage"
+    hier_chain.CHAIN = False
+    try:
+        tree_s, _ = clust_hier(A, copts, Random(2))
+    finally:
+        hier_chain.CHAIN = True
+
+    nmi = score_clustering(tree_c.assignments, tree_s.assignments)["nmi"]
+    print(f"  chain-vs-seq assignment NMI: {nmi:.3f}", flush=True)
+    assert nmi >= 0.95, "chain tree diverged from sequential"
+
+    fopts = ClustOptions(nmf_opts=nmf_opts, num_clusters=12,
+                         verbose=False)
+    norm_a = np.sqrt((A.data ** 2).sum())
+    rels = []
+    for tree in (tree_c, tree_s):
+        W, H, ok = clust_flat(A, tree, fopts, Random(9))
+        assert ok
+        WtA = (A.T @ W).T  # k x n, sparse-aware
+        err2 = (norm_a ** 2
+                - 2.0 * float(np.sum(WtA * H))
+                + float(np.sum((W.T @ W) * (H @ H.T))))
+        rels.append(np.sqrt(max(err2, 0.0)) / norm_a)
+    print(f"  flat refit rel err: chain {rels[0]:.4f} "
+          f"seq {rels[1]:.4f}", flush=True)
+    assert abs(rels[0] - rels[1]) <= 0.02 * rels[1], \
+        "chain tree objective regressed vs sequential"
+
+
 section("BPP convergence across ranks", bpp_convergence)
 section("Pallas masked-GJ at awkward widths", pallas_kernel_widths)
 section("device-resident hierclust", hierclust_device_loop)
+section("chain vs sequential quality gate", chain_quality_gate)
 section("MU/HALS/RANK2 + flatclust", other_algorithms)
 print(f"[done] failures: {FAILURES or 'none'}", flush=True)
 raise SystemExit(1 if FAILURES else 0)

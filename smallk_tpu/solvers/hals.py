@@ -74,8 +74,43 @@ def update_w(W, HHt, AHt):
     return jax.lax.fori_loop(0, k, body, W)
 
 
+# Whole-step Pallas kernel dispatch (solvers/hals_pallas.py): at small
+# dense shapes the XLA step is latency-bound (~100 dispatched ops per
+# iteration); the kernel runs the full step as ONE program.  Module
+# knob for benchmarking/ablation.
+PALLAS_STEP = "auto"   # "auto" | "xla" | "pallas"
+
+
+def _pallas_step_ok(a_op, W, H) -> bool:
+    from ..ops.aop import DenseAOp
+
+    if PALLAS_STEP == "xla":
+        return False
+    if not (isinstance(a_op, DenseAOp) and W.dtype == jnp.float32
+            and a_op.A.dtype in (jnp.float32, jnp.bfloat16)):
+        return False
+    if PALLAS_STEP != "pallas" and jax.default_backend() not in (
+            "tpu", "axon"):
+        return False
+    from .hals_pallas import hals_fits
+
+    m, k = W.shape
+    return hals_fits(m, H.shape[1], k, a_op.A.dtype.itemsize)
+
+
 def step(a_op, W, H, state: HalsState):
     HHt, AHt = state
+
+    if _pallas_step_ok(a_op, W, H):
+        from .hals_pallas import hals_step_pallas
+
+        interpret = jax.default_backend() == "cpu"
+        W, H, gradW, gradH, HHt, AHt = hals_step_pallas(
+            a_op.A, W, H, HHt, AHt, interpret=interpret,
+        )
+        ok = (jnp.all(jnp.isfinite(gradW))
+              & jnp.all(jnp.isfinite(gradH)))
+        return W, H, gradW, gradH, HalsState(HHt=HHt, AHt=AHt), ok
 
     W = update_w(W, HHt, AHt)
 

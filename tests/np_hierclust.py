@@ -358,13 +358,24 @@ class NpTree:
 
 class _Initializers:
     """LoadInitializers (clust_hier_generic.hpp:568-622): Winit_N.csv /
-    Hinit_N.csv consumed in factorization-attempt order."""
+    Hinit_N.csv consumed in factorization-attempt order.
 
-    def __init__(self, initdir, m, n):
+    With initdir=None and an `rng` (numpy RandomState), initializers are
+    drawn uniform in memory instead — the reference's default random
+    path (clust_hier_generic.hpp:548-566); used by the 100-leaf CPU
+    anchor measurement (scripts/oracle_anchor.py), where writing 200+
+    initializer CSVs would dominate the wall clock."""
+
+    def __init__(self, initdir, m, n, rng=None):
         self.initdir, self.m, self.n = initdir, m, n
         self.counter = 1
+        self.rng = rng
 
     def next(self):
+        if self.initdir is None:
+            self.counter += 1
+            return (self.rng.rand(self.m, 2),
+                    self.rng.rand(2, self.n))
         W = np.genfromtxt(
             os.path.join(self.initdir, f"Winit_{self.counter}.csv"),
             delimiter=",", dtype=np.float64,
@@ -464,13 +475,14 @@ def _trial_split(A, subset, min_priority, w_parent, inits, opts, events):
     return priority_one, subset, W, labels
 
 
-def np_clust_hier(A, opts: NpClustOptions, initdir):
+def np_clust_hier(A, opts: NpClustOptions, initdir, rng=None):
     """ClustHier (clust_hier_generic.hpp:77-238).  Returns
     (NpTree, events); events = {nmf_count, iter_count, drops,
-    recycles}."""
+    recycles}.  `rng`: random in-memory initializers when initdir is
+    None (the reference's default path)."""
     A = np.asarray(A, dtype=np.float64)
     m, n = A.shape
-    inits = _Initializers(initdir, m, n)
+    inits = _Initializers(initdir, m, n, rng=rng)
     events = {"nmf_count": 0, "iter_count": 0, "drops": [],
               "recycles": []}
 

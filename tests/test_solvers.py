@@ -667,3 +667,47 @@ def test_nonfinite_inputs_fail_not_succeed():
     _, _, ok = nnls_blockpivot(LHS, jnp.asarray(RHS),
                                jnp.asarray(rng.rand(k, n)))
     assert not bool(ok)
+
+
+def test_hals_pallas_step_parity(monkeypatch):
+    """The whole-step HALS Pallas kernel (solvers/hals_pallas.py) must
+    reproduce the XLA step body: same sequential sweeps, same Grams,
+    same gradients (interpreter mode; the TPU smoke covers hardware)."""
+    import jax.numpy as jnp
+
+    from smallk_tpu.ops.aop import DenseAOp
+    from smallk_tpu.solvers import hals
+
+    rs = np.random.RandomState(0)
+    m, n, k = 96, 80, 8
+    A = jnp.asarray(rs.rand(m, n).astype(np.float32))
+    W = jnp.asarray(rs.rand(m, k).astype(np.float32))
+    H = jnp.asarray(rs.rand(k, n).astype(np.float32))
+    op = DenseAOp(A)
+    st = hals.init(op, W, H)
+
+    monkeypatch.setattr(hals, "PALLAS_STEP", "xla")
+    refW, refH, refgW, refgH, refst, refok = hals.step(op, W, H, st)
+    monkeypatch.setattr(hals, "PALLAS_STEP", "pallas")
+    outW, outH, outgW, outgH, outst, outok = hals.step(op, W, H, st)
+
+    np.testing.assert_allclose(outW, refW, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(outH, refH, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(outgW, refgW, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(outgH, refgH, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(outst.HHt, refst.HHt, rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(outst.AHt, refst.AHt, rtol=2e-5,
+                               atol=2e-6)
+    assert bool(outok) == bool(refok)
+
+    # zero-column rescue branch: a W column that goes all-negative must
+    # be refilled with eps and unit-normalized identically on both paths
+    W2 = W.at[:, 3].set(0.0)
+    AHt2 = st.AHt.at[:, 3].set(-1.0)
+    st2 = hals.HalsState(HHt=st.HHt, AHt=AHt2)
+    monkeypatch.setattr(hals, "PALLAS_STEP", "xla")
+    r2 = hals.step(op, W2, H, st2)
+    monkeypatch.setattr(hals, "PALLAS_STEP", "pallas")
+    o2 = hals.step(op, W2, H, st2)
+    np.testing.assert_allclose(o2[0], r2[0], rtol=2e-5, atol=2e-6)
