@@ -71,16 +71,22 @@ _MIN_BUCKET = 512     # keep in sync with hierclust._MIN_BUCKET
 LAST_STATS = {"segments": 0, "committed": 0, "bails": 0, "resyncs": 0}
 
 
+# Widths at/above this solve the two children SEQUENTIALLY inside the
+# branch instead of vmapped: the vmapped pair runs 2 x max(sibling
+# iterations) of bandwidth-proportional work (tpu_batch36), while the
+# sequential form pays i0 + i1 <= 2 x max — a pure win once the solve
+# is bandwidth-bound.  Below it, thin widths underutilize the chip and
+# the vmap batching wins (the original PAIR_BATCHING rationale).
+SEQ_PAIR_MIN = 4096
+
+
 def _widths(n: int):
-    """Bucket widths compiled into the chain program: the sequential
-    pair-eligibility rule (hierclust._pair_eligible) admits
-    max(512, next_pow2(max child)) strictly below n."""
-    out = []
-    w = _MIN_BUCKET
-    while w < n and w <= CHAIN_MAX_WIDTH:
-        out.append(w)
-        w <<= 1
-    return tuple(out)
+    """Bucket widths compiled into the chain program: the shared ladder
+    (hierclust._bucket_widths — pow2 to 4096, then 2048 steps),
+    strictly below n and capped at CHAIN_MAX_WIDTH."""
+    from .hierclust import _bucket_widths
+
+    return _bucket_widths(n, cap=CHAIN_MAX_WIDTH)
 
 
 def _pack_bits_dev(left_full):
@@ -262,12 +268,20 @@ def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
                     jnp.nonzero(mask1, size=w, fill_value=n)[0]
                     .astype(jnp.int32),
                 ])
-                return jax.vmap(
-                    lambda idx, sd, wpc: _child_solve(
-                        A_ext, idx, sd, wpc, n, opts, fdtype, restarts,
-                        init,
+                solve = lambda idx, sd, wpc: _child_solve(  # noqa: E731
+                    A_ext, idx, sd, wpc, n, opts, fdtype, restarts,
+                    init,
+                )
+                if w >= SEQ_PAIR_MIN:
+                    # wide buckets are bandwidth-bound: run the two
+                    # children one after another (pays i0 + i1
+                    # iterations, not 2 x max)
+                    outs = [solve(idx2[i], seed2[i], wp.T[i])
+                            for i in range(2)]
+                    return jax.tree.map(
+                        lambda *xs: jnp.stack(xs), *outs
                     )
-                )(idx2, seed2, wp.T)
+                return jax.vmap(solve)(idx2, seed2, wp.T)
             return br
 
         branch = jnp.where(run, jnp.minimum(widx, nbr - 1), nbr)

@@ -99,6 +99,37 @@ def _next_pow2(x: int) -> int:
 
 _MIN_BUCKET = 512
 
+# Bucket ladder: powers of 2 up to 4096, then multiples of 2048.
+# Pure pow-2 wastes up to 2x in zero-pad columns exactly where the
+# per-iteration cost is bandwidth-proportional (scripts/tpu_batch36:
+# 0.155 -> 3.49 ms/iter from width 512 to 8192, no latency floor), so
+# the wide end of the ladder is finer: a 5600-doc child solves at 6144
+# instead of 8192 (-25% bytes).  The ladder is shared by the sequential
+# engine and the chain so both pick identical widths for identical
+# subsets (bit parity).
+_BUCKET_STEP = 2048
+
+
+def _bucket_widths(n: int, cap: int = 1 << 30):
+    """All compiled bucket widths strictly below n (ascending)."""
+    out = []
+    w = _MIN_BUCKET
+    while w < min(n, 4096) and w <= cap:
+        out.append(w)
+        w <<= 1
+    w = 4096
+    while w < n and w <= cap:
+        out.append(w)
+        w += _BUCKET_STEP
+    return tuple(out)
+
+
+def _bucket_for(size: int) -> int:
+    """Smallest ladder width >= size."""
+    if size <= 4096:
+        return max(_MIN_BUCKET, _next_pow2(size))
+    return -(-size // _BUCKET_STEP) * _BUCKET_STEP
+
 # Sibling-pair batched solves: a win where the solve is latency-bound
 # (thin widths underutilize the chip) — the vmapped pair runs
 # 2 x max(sibling iterations).  Module knob for benchmarking.
@@ -485,10 +516,7 @@ class _Rank2Runner:
         if (not PAIR_BATCHING or self._A_ext is None or self.inits.initdir
                 or len(subset_l) <= 3 or len(subset_r) <= 3):
             return None
-        n_b = max(
-            _MIN_BUCKET,
-            _next_pow2(max(len(subset_l), len(subset_r))),
-        )
+        n_b = _bucket_for(max(len(subset_l), len(subset_r)))
         if n_b >= self.n:
             return None
         return n_b
@@ -674,7 +702,7 @@ class _Rank2Runner:
                 )
                 count, sel = self.n, slice(None)
             else:
-                n_b = max(_MIN_BUCKET, _next_pow2(len(subset)))
+                n_b = _bucket_for(len(subset))
                 if self._A_ext is not None and n_b < self.n:
                     W_, H_, packed = _fused_gather_solve(
                         self._A_ext, self._padded_idx(subset, n_b), seed,
@@ -729,7 +757,7 @@ class _Rank2Runner:
         if subset is None:
             a_op = self.a_op
         else:
-            n_b = max(_MIN_BUCKET, _next_pow2(len(subset)))
+            n_b = _bucket_for(len(subset))
             if self._A_ext is not None and n_b < self.n:
                 bucket = n_b
                 cols = jnp.take(self._A_ext, self._padded_idx(subset, n_b),
