@@ -209,7 +209,10 @@ def _solve_from_draw(op, valid, draw, root, w_parent, opts, init,
             # tolerance stays anchored to the random-start PG_1 scale; a
             # degenerate spectral pair falls back to the random start
             pg0 = reference_pg1(op, W0, H0, opts)
-            W0s, H0s = spectral_init_rank2(op, H0)
+            from ..solvers import rank2 as _rank2
+
+            W0s, H0s = spectral_init_rank2(
+                op, H0, power_iters=_rank2.SPECTRAL_POWER_ITERS)
             good = jnp.all(jnp.isfinite(W0s)) & jnp.all(
                 jnp.linalg.norm(W0s, axis=0) > 0
             )

@@ -85,17 +85,22 @@ def _pallas_fits(k: int) -> bool:
     return (k * k + 40 * k) * 128 * 4 <= 12 * 1024 * 1024
 
 
-def _masked_solve(LHS, RHS, passive):
+def _masked_solve(LHS, RHS, passive, x0=None):
+    """`x0`: optional warm start, consumed ONLY by the CG tier (direct
+    eliminations have no use for it).  BPP's pivot rounds re-solve
+    near-identical systems — warm-started CG converges in a handful of
+    steps instead of ~k (the residual tolerance is absolute either
+    way, so the solution contract is unchanged)."""
     if MASKED_SOLVER == "pallas":
         from .pallas_kernels import masked_gj_solve_pallas
 
         return masked_gj_solve_pallas(LHS, RHS, passive)
     if MASKED_SOLVER == "cg":
-        return _cg_solve_block(LHS, RHS, passive)
-    return _masked_cholesky_solve(LHS, RHS, passive)
+        return _cg_solve_block(LHS, RHS, passive, x0)
+    return _masked_cholesky_solve(LHS, RHS, passive, x0)
 
 
-def _cg_solve_block(LHS, RHS, passive):
+def _cg_solve_block(LHS, RHS, passive, x0=None):
     """Masked SPD solve via Jacobi-preconditioned conjugate gradient.
 
     Same system as the GJ/Cholesky paths: M x = b with
@@ -146,11 +151,18 @@ def _cg_solve_block(LHS, RHS, passive):
     tol2 = (64.0 * eps) ** 2 * bb
     max_steps = k + 16
 
-    x = jnp.zeros_like(b)
-    r = b
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        # warm start on the passive support; non-finite garbage (a
+        # failed earlier solve) falls back to the cold start
+        x = jnp.where(pf, x0.astype(dtype), 0)
+        x = jnp.where(jnp.isfinite(x), x, 0)
+        r = jnp.where(pf, b - gemm(LHS, x), 0)
     pd = r * dinv
     rz = jnp.sum(r * pd, axis=0)
-    rr = bb
+    rr = jnp.sum(r * r, axis=0)
 
     def cond(c):
         x, r, pd, rz, rr, it = c
@@ -227,8 +239,9 @@ def _chol_solve_block(LHS, RHS, passive):
     return x[:, :, 0].T
 
 
-def _masked_cholesky_solve(LHS, RHS, passive):
+def _masked_cholesky_solve(LHS, RHS, passive, x0=None):
     """Batched masked SPD solve with rank dispatch and column chunking.
+    `x0` feeds the CG tier only.
 
     k <= _GJ_MAX_K: unrolled Gauss-Jordan; larger: batched Cholesky.
     Either way, chunks the n axis when the work tensor exceeds the budget
@@ -242,7 +255,7 @@ def _masked_cholesky_solve(LHS, RHS, passive):
             # huge-width high-rank tier: the GJ elimination's O(n k^3)
             # VPU time dominates whole BPP iterations (tpu_batch23/25);
             # CG trades it for <= k+16 MXU matmuls
-            return _cg_solve_block(LHS, RHS, passive)
+            return _cg_solve_block(LHS, RHS, passive, x0)
         # VMEM-resident kernel at EVERY rank (was k >= _COMPACT_MIN_K
         # only): the full-k elimination never touches HBM between pivots.
         # Measured BPP end-to-end, v5e reuters shape, within-process
@@ -466,7 +479,7 @@ def nnls_blockpivot(LHS, RHS, Xinit):
         return dx, dy
 
     passive = Xinit > 0
-    X = _masked_solve(LHS, RHS, passive)
+    X = _masked_solve(LHS, RHS, passive, x0=Xinit)
     Y = gemm(LHS, X) - RHS
 
     P = jnp.full((n,), PBAR, dtype=jnp.int32)
@@ -517,7 +530,7 @@ def nnls_blockpivot(LHS, RHS, Xinit):
                                   cols1, cols2, cols3)
 
         # --- solve the non-optimal columns with the updated passive sets ---
-        Xs = _masked_solve(LHS, RHS, passive)
+        Xs = _masked_solve(LHS, RHS, passive, x0=X)
         Ys = gemm(LHS, Xs) - RHS
         mask = notopt_col[None, :]
         X = jnp.where(mask, Xs, X)
@@ -559,7 +572,7 @@ def nnls_blockpivot(LHS, RHS, Xinit):
         )
 
         RHS_s = RHS[:, ids]
-        Xs = _masked_solve(LHS, RHS_s, passive_s)
+        Xs = _masked_solve(LHS, RHS_s, passive_s, x0=X[:, ids])
         Ys = gemm(LHS, Xs) - RHS_s
         Xs = jnp.where(sel[None, :], Xs, X[:, ids])
         Ys = jnp.where(sel[None, :], Ys, Y[:, ids])

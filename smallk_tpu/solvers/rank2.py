@@ -180,6 +180,12 @@ def step(a_op, W, H, state: Rank2State):
     return W, H, gradW, gradH, Rank2State(WtW=WtW, WtA=WtA), ok
 
 
+# Subspace-iteration count for the spectral initializer (module knob:
+# each power iteration costs ~1 NMF iteration of A-bandwidth; text
+# corpora have strong top-2 gaps, so few iterations suffice).
+SPECTRAL_POWER_ITERS = 6
+
+
 @functools.partial(jax.jit, static_argnames=("power_iters",))
 def spectral_init_rank2(a_op, v0, power_iters: int = 6):
     """Spectral rank-2 initializer from the top-2 singular pair.
