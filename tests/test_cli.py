@@ -143,3 +143,77 @@ def test_preprocessor_cli(tmp_path):
     # tf-idf columns are unit norm
     norms = np.sqrt(np.asarray(R.power(2).sum(axis=0)).ravel())
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)  # file precision 4
+
+
+def test_hierclust_cli_new_flags(corpus):
+    """--checkpoint / --restarts / --priority / --graph / Result exit
+    codes (VERDICT r3 #6/#10)."""
+    mtx, dic, tmp_path = corpus
+    outdir = str(tmp_path / "o1")
+    os.makedirs(outdir, exist_ok=True)
+    ckpt = str(tmp_path / "run.ckpt")
+    args = [
+        "--matrixfile", mtx, "--dictfile", dic, "--clusters", "4",
+        "--outdir", outdir, "--verbose", "0", "--seed", "3",
+        "--dtype", "float64", "--checkpoint", ckpt,
+        "--restarts", "2", "--priority", "size_ndcg",
+    ]
+    assert hierclust_main(args) == 0
+    assert os.path.exists(ckpt)
+    a1 = open(os.path.join(outdir, "assignments_4.csv")).read()
+
+    # checkpoint round trip: a second run resumes from the completed
+    # checkpoint and must reproduce the same assignments
+    outdir2 = str(tmp_path / "o2")
+    os.makedirs(outdir2, exist_ok=True)
+    args2 = list(args)
+    args2[args2.index(outdir)] = outdir2
+    assert hierclust_main(args2) == 0
+    a2 = open(os.path.join(outdir2, "assignments_4.csv")).read()
+    assert a1 == a2
+
+
+def test_hierclust_cli_graph_preset(tmp_path):
+    """--graph normalizes the adjacency and applies the graph presets."""
+    from smallk_tpu.engines.corpus import planted_partition_graph
+
+    G, labels = planted_partition_graph(300, 4, seed=5)
+    mtx = str(tmp_path / "graph.mtx")
+    write_matrix_market(mtx, G)
+    dic = str(tmp_path / "nodes.txt")
+    with open(dic, "w") as f:
+        for i in range(G.shape[0]):
+            f.write(f"node{i}\n")
+    outdir = str(tmp_path)
+    assert hierclust_main([
+        "--matrixfile", mtx, "--dictfile", dic, "--clusters", "4",
+        "--outdir", outdir, "--verbose", "0", "--seed", "3",
+        "--dtype", "float64", "--graph",
+    ]) == 0
+    assign = np.array(
+        open(os.path.join(outdir, "assignments_4.csv")).readline()
+        .strip().split(","), dtype=np.int64)
+    assert assign.shape[0] == 300
+    # the planted 4-community graph must be mostly recovered
+    from smallk_tpu.engines.scoring import score_clustering
+
+    assert score_clustering(assign, labels)["nmi"] > 0.6
+
+
+def test_cli_result_exit_codes(tmp_path):
+    """entry() maps errors onto the reference's Result codes
+    (common/include/nmf.hpp:17-26)."""
+    from smallk_tpu.cli.hierclust_cli import entry as hier_entry
+    from smallk_tpu.common.options import Result
+
+    # missing input file -> BAD_PARAM
+    rc = hier_entry([
+        "--matrixfile", str(tmp_path / "missing.mtx"),
+        "--dictfile", str(tmp_path / "missing.txt"),
+        "--clusters", "4",
+    ])
+    assert rc == int(Result.BAD_PARAM)
+    # argparse usage error (missing required flag) -> BAD_PARAM
+    assert hier_entry(["--clusters", "4"]) == int(Result.BAD_PARAM)
+    # --help -> OK
+    assert hier_entry(["--help"]) == int(Result.OK)
