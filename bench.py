@@ -18,16 +18,17 @@ import time
 import numpy as np
 
 # Measured same-machine CPU anchor for the 100-leaf north-star metric:
-# tests/np_hierclust.py (plain-numpy f64 transcription of the reference
-# HierNMF2 engine — compacted submatrices, ndcg pop, one random start
-# per node) on the exact bench workload (planted partition 20000n/100c,
-# normalized adjacency, 100 leaves).  Recorded by
-# scripts/oracle_anchor.py on 2026-08-20; the same script cross-checks
-# the oracle's rate on the 20news-shape 15c text workload against the
-# reference binary's PUBLISHED 10.308 s (pages_tests.rst:229-258) so
-# the anchor's cost scale is tied to the real reference implementation.
-_ORACLE_100LEAF_CPU_S = 318.0
-_ORACLE_100LEAF_NMI = 0.84
+# tests/np_hierclust.py (plain-numpy/scipy-sparse f64 transcription of
+# the reference HierNMF2 engine — sparse compacted submatrices, ndcg
+# pop, one random start per node) on the exact bench workload (planted
+# partition 20000n/100c, normalized adjacency, 100 leaves): 90.4 s,
+# 205 solves, NMI 0.991 (scripts/oracle_anchor.py, 2026-08-20).
+# Cross-check on the 20news-shape 15c text workload: the oracle runs it
+# in 7.1 s vs the reference binary's PUBLISHED 10.308 s
+# (pages_tests.rst:229-258) — i.e. the anchor is FASTER than the real
+# reference implementation, so vs_baseline below is conservative.
+_ORACLE_100LEAF_CPU_S = 90.4
+_ORACLE_100LEAF_NMI = 0.991
 
 
 def bench_all():

@@ -48,9 +48,11 @@ def run(A, clusters, seed, tol=1e-4):
 
 
 def main():
-    # cross-check vs the published reference rate (20news shape, 15c)
+    # cross-check vs the published reference rate (20news shape, 15c);
+    # A stays SPARSE — the reference pipeline is sparse-first, so the
+    # anchor must pay sparse CPU costs, not densified ones
     A2, _ = synthetic_term_doc_corpus(39727, 11237, 20, seed=13)
-    A2 = np.asarray(A2.todense()).astype(np.float64)
+    print(f"20news-shape corpus: nnz={A2.nnz/1e6:.2f}M", flush=True)
     tree, ev, dt = run(A2, 15, seed=2)
     print(f"oracle 20news-shape 15c: {dt:.1f} s, "
           f"{ev['nmf_count']} solves, {ev['iter_count']} iters "
@@ -60,7 +62,8 @@ def main():
     # the 100-leaf north-star graph workload (same generator/params as
     # bench.py's hierclust_100_leaves metric)
     G, labels = planted_partition_graph(20000, 100, seed=17)
-    Gn = np.asarray(normalized_adjacency(G).todense()).astype(np.float64)
+    Gn = normalized_adjacency(G)
+    print(f"graph: nnz={Gn.nnz/1e6:.2f}M", flush=True)
     tree, ev, dt = run(Gn, 100, seed=2)
     assign = tree.assignments()
     nmi = score_clustering(assign, labels)["nmi"]

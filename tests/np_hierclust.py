@@ -32,8 +32,25 @@ import dataclasses
 import os
 
 import numpy as np
+import scipy.sparse as _sp
 
 EPS = np.finfo(np.float64).eps
+
+
+def _mm_tn(W, A):
+    """W' A for dense or scipy-sparse A (the reference's sparse GEMM,
+    common/include/sparse_gemm_*.hpp — the CPU anchor must pay sparse
+    costs like the reference binary, not densified ones)."""
+    if _sp.issparse(A):
+        return np.asarray((A.T @ W).T)
+    return W.T @ A
+
+
+def _mm_nt(A, H):
+    """A H' for dense or scipy-sparse A."""
+    if _sp.issparse(A):
+        return np.asarray(A @ H.T)
+    return A @ H.T
 
 
 # --- rank-2 solver pieces (nmf_solver_rank2.hpp) ---------------------------
@@ -166,7 +183,7 @@ def np_rank2_nmf_solve(A, W0, H0, opts: NpNmfOptions):
 
     # solver.Init (nmf_solver_rank2.hpp:331-346)
     WtW = W.T @ W
-    WtA = W.T @ A
+    WtA = _mm_tn(W, A)
 
     pg0 = None
     success = False
@@ -180,7 +197,7 @@ def np_rank2_nmf_solve(A, W0, H0, opts: NpNmfOptions):
         H = Hn
         _optimal_active_set_h(H, WtW, WtA)
         HHt = H @ H.T
-        AHt = A @ H.T
+        AHt = _mm_nt(A, H)
         Wn = _system_solve_w(HHt, AHt)
         if Wn is None:
             return None, None, it, False
@@ -192,7 +209,7 @@ def np_rank2_nmf_solve(A, W0, H0, opts: NpNmfOptions):
         AHt = AHt * s[None, :]
         gradW = W @ HHt - AHt
         WtW = W.T @ W
-        WtA = W.T @ A
+        WtA = _mm_tn(W, A)
         gradH = WtW @ H - WtA
 
         # --- progress estimation (nmf_solve_generic.hpp:81-120) ---
@@ -405,8 +422,13 @@ def _actual_split(A, subset, w_parent, inits, opts, events):
 
     # SubMatrixColsCompact: extract subset cols, drop zero rows
     Asub_full = A[:, subset]
-    row_support = np.where(np.any(Asub_full != 0, axis=1))[0]
-    Asub = Asub_full[row_support, :]
+    if _sp.issparse(Asub_full):
+        Asub_full = Asub_full.tocsc()
+        row_support = np.unique(Asub_full.tocoo().row)
+        Asub = Asub_full[row_support, :]
+    else:
+        row_support = np.where(np.any(Asub_full != 0, axis=1))[0]
+        Asub = Asub_full[row_support, :]
 
     success = False
     for _attempt in range(3):
@@ -479,8 +501,12 @@ def np_clust_hier(A, opts: NpClustOptions, initdir, rng=None):
     """ClustHier (clust_hier_generic.hpp:77-238).  Returns
     (NpTree, events); events = {nmf_count, iter_count, drops,
     recycles}.  `rng`: random in-memory initializers when initdir is
-    None (the reference's default path)."""
-    A = np.asarray(A, dtype=np.float64)
+    None (the reference's default path).  Sparse A stays sparse — the
+    reference's entire pipeline is sparse-first."""
+    if _sp.issparse(A):
+        A = A.tocsc().astype(np.float64)
+    else:
+        A = np.asarray(A, dtype=np.float64)
     m, n = A.shape
     inits = _Initializers(initdir, m, n, rng=rng)
     events = {"nmf_count": 0, "iter_count": 0, "drops": [],
