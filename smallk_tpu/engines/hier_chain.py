@@ -72,12 +72,15 @@ LAST_STATS = {"segments": 0, "committed": 0, "bails": 0, "resyncs": 0}
 
 
 # Widths at/above this solve the two children SEQUENTIALLY inside the
-# branch instead of vmapped: the vmapped pair runs 2 x max(sibling
-# iterations) of bandwidth-proportional work (tpu_batch36), while the
-# sequential form pays i0 + i1 <= 2 x max — a pure win once the solve
-# is bandwidth-bound.  Below it, thin widths underutilize the chip and
-# the vmap batching wins (the original PAIR_BATCHING rationale).
-SEQ_PAIR_MIN = 4096
+# branch instead of vmapped.  Trusted in-loop timings (tpu_batch41:
+# per-solve per-iteration cost is width-proportional at ~720 GB/s
+# effective and IDENTICAL at vmap batch 2 and 8, every width from 512
+# to 8192) show pair-vmap buys no throughput anywhere inside the chain
+# — it only forces 2 x max(sibling iterations) instead of i0 + i1 —
+# so ALL chain branches run their two children back to back.  (The
+# sequential ENGINE still vmaps pairs: there the win is one dispatch
+# through the ~26 ms tunnel instead of two, not device throughput.)
+SEQ_PAIR_MIN = 0
 
 
 def _widths(n: int):

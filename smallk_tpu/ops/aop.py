@@ -54,6 +54,25 @@ class DenseAOp:
             self.A, H.T, precision=_PRECISION, preferred_element_type=_pet(H)
         ).astype(H.dtype)
 
+    # Transposed-factor forms for the rank-2 Wt (k, m) layout (see
+    # solvers/rank2 step_t): a (m, 2) array lives lane-padded to
+    # (m, 128) tiles on TPU — 64x its logical footprint — so the rank-2
+    # solver carries W transposed and the products produce/consume the
+    # (k, m) orientation directly, no padded intermediates.
+    def mm_tn_t(self, Wt):
+        """Wt A -> (k, n) for Wt (k, m)."""
+        return jnp.matmul(
+            Wt, self.A, precision=_PRECISION,
+            preferred_element_type=_pet(Wt)
+        ).astype(Wt.dtype)
+
+    def mm_nt_t(self, H):
+        """(A H^T)^T = H A^T -> (k, m), contracted directly."""
+        return jax.lax.dot_general(
+            H, self.A, (((1,), (1,)), ((), ())),
+            precision=_PRECISION, preferred_element_type=_pet(H),
+        ).astype(H.dtype)
+
     def col_sums(self):
         return jnp.sum(self.A, axis=0)
 
@@ -192,6 +211,16 @@ class MaskedAOp:
 
     def mm_nt(self, H):
         return self.base.mm_nt(H * self.mask[None, :])
+
+    def mm_tn_t(self, Wt):
+        f = getattr(self.base, "mm_tn_t", None)
+        base = f(Wt) if f is not None else self.base.mm_tn(Wt.T)
+        return base * self.mask[None, :]
+
+    def mm_nt_t(self, H):
+        Hm = H * self.mask[None, :]
+        f = getattr(self.base, "mm_nt_t", None)
+        return f(Hm) if f is not None else self.base.mm_nt(Hm).T
 
     def col_sums(self):
         return self.base.col_sums() * self.mask

@@ -186,6 +186,142 @@ def step(a_op, W, H, state: Rank2State):
 SPECTRAL_POWER_ITERS = 6
 
 
+# --- transposed-W formulation -------------------------------------------
+#
+# A (m, 2) array is stored lane-padded to (m, 128) tiles on TPU: every
+# materialization (while-loop carries, matmul outputs, fusion
+# boundaries) costs 64x its logical bytes of real HBM traffic — at
+# hierclust scale (m ~ 40k) that is ~20 MB per touch, a measurable
+# per-iteration tax on an otherwise A-stream-bound solve.  The rank-2
+# f32 path therefore carries W TRANSPOSED as Wt (2, m) (sublane padding
+# only: 4x), with the products contracted directly into the (2, m)
+# orientation (aop.mm_tn_t / mm_nt_t).  The scalar Givens/active-set
+# formulas below are the SAME operations as the untransposed versions,
+# element for element — only the layout differs.  The f64 path keeps
+# the untransposed form (pinned by the numpy trajectory oracles).
+
+
+def _mm_tn_t(a_op, Wt):
+    f = getattr(a_op, "mm_tn_t", None)
+    return f(Wt) if f is not None else a_op.mm_tn(Wt.T)
+
+
+def _mm_nt_t(a_op, H):
+    f = getattr(a_op, "mm_nt_t", None)
+    return f(H) if f is not None else a_op.mm_nt(H).T
+
+
+def _system_solve_w_t(A, Bt):
+    """Transposed _system_solve_w: solve X @ A = B with X as Xt (2, m),
+    Bt (2, m).  Same scalar forms (cosine/sine Givens), vectors along
+    axis 1."""
+    dtype = Bt.dtype
+    eps = jnp.finfo(dtype).eps
+    a00, a01 = A[0, 0], A[0, 1]
+    a10, a11 = A[1, 0], A[1, 1]
+    use_cos = jnp.abs(a00) >= jnp.abs(a01)
+
+    t = a01 / jnp.where(a00 == 0, eps, a00)
+    a2_c = a00 + t * a01
+    b2_c = a10 + t * a11
+    d2_c = a11 - t * a10
+    e2_c = Bt[0, :] + t * Bt[1, :]
+    f2_c = Bt[1, :] - t * Bt[0, :]
+
+    ct = a00 / jnp.where(a01 == 0, eps, a01)
+    a2_s = -a01 - ct * a00
+    b2_s = -a11 - ct * a10
+    d2_s = a10 - ct * a11
+    e2_s = -Bt[1, :] - ct * Bt[0, :]
+    f2_s = Bt[0, :] - ct * Bt[1, :]
+
+    a2 = jnp.where(use_cos, a2_c, a2_s)
+    b2 = jnp.where(use_cos, b2_c, b2_s)
+    d2 = jnp.where(use_cos, d2_c, d2_s)
+    e2 = jnp.where(use_cos, e2_c, e2_s)
+    f2 = jnp.where(use_cos, f2_c, f2_s)
+
+    singular = (jnp.abs(a00) < eps) & (jnp.abs(a01) < eps)
+    degenerate = jnp.abs(d2 / a2) < eps
+    ok = jnp.logical_not(singular | degenerate)
+
+    x1 = f2 / d2
+    x0 = (e2 - b2 * x1) / a2
+    return jnp.stack([x0, x1], axis=0), ok
+
+
+def _optimal_active_set_w_t(Wt, HHt, AHtT):
+    """Transposed _optimal_active_set_w: rows of Wt are W's columns."""
+    h00, h11 = HHt[0, 0], HHt[1, 1]
+    v1 = AHtT[0, :] / h00
+    v2 = AHtT[1, :] / h11
+    vv1 = v1 * jnp.sqrt(h00)
+    vv2 = v2 * jnp.sqrt(h11)
+    pick1 = vv1 >= vv2
+    v1 = jnp.where(pick1, v1, 0.0)
+    v2 = jnp.where(pick1, 0.0, v2)
+    needs_fix = (Wt[0, :] <= 0) | (Wt[1, :] <= 0)
+    w0 = jnp.where(needs_fix, v1, Wt[0, :])
+    w1 = jnp.where(needs_fix, v2, Wt[1, :])
+    return jnp.stack([w0, w1], axis=0)
+
+
+def _normalize_and_scale_t(Wt, H):
+    """normalize_and_scale with W transposed: unit-L2 rows of Wt,
+    inversely scaled rows of H.  Same formula as ops/dense."""
+    norms = jnp.sqrt(jnp.sum(jnp.square(Wt), axis=1))  # (2,)
+    eps = jnp.finfo(Wt.dtype).eps
+    safe = jnp.maximum(norms, eps)
+    Wt_out = Wt / safe[:, None]
+    H_out = H * norms[:, None]
+    return Wt_out, H_out, norms
+
+
+def init_t(a_op, Wt, H) -> Rank2State:
+    return Rank2State(WtW=gram_t(Wt), WtA=_mm_tn_t(a_op, Wt))
+
+
+def step_t(a_op, Wt, H, state: Rank2State):
+    """rank2.step with W carried as Wt (2, m); same update sequence."""
+    WtW, WtA = state
+
+    H, ok_h = _system_solve_h(WtW, WtA)
+    H = _optimal_active_set_h(H, WtW, WtA)
+
+    HHt = gram_t(H)
+    AHtT = _mm_nt_t(a_op, H)          # (2, m)
+
+    Wt, ok_w = _system_solve_w_t(HHt, AHtT)
+    Wt = _optimal_active_set_w_t(Wt, HHt, AHtT)
+
+    Wt, H, norms = _normalize_and_scale_t(Wt, H)
+    norms_ok = jnp.all(norms > jnp.finfo(Wt.dtype).eps)
+    HHt = HHt * jnp.outer(norms, norms)
+    AHtT = AHtT * norms[:, None]
+
+    gradWt = gemm(HHt, Wt) - AHtT      # (2, m); HHt symmetric
+
+    WtW = gram_t(Wt)
+    WtA = _mm_tn_t(a_op, Wt)
+    gradH = gemm(WtW, H) - WtA
+
+    ok = ok_h & ok_w & norms_ok
+    ok = ok & jnp.all(jnp.isfinite(gradWt)) & jnp.all(jnp.isfinite(gradH))
+    return Wt, H, gradWt, gradH, Rank2State(WtW=WtW, WtA=WtA), ok
+
+
+class _TransposedRank2:
+    """Solver adapter: rank-2 with the W factor carried as Wt (2, m).
+    solve.py selects this for the f32 rank-2 path and transposes W0 in
+    and W out around the while_loop."""
+
+    init = staticmethod(init_t)
+    step = staticmethod(step_t)
+
+
+transposed = _TransposedRank2()
+
+
 @functools.partial(jax.jit, static_argnames=("power_iters",))
 def spectral_init_rank2(a_op, v0, power_iters: int = 6):
     """Spectral rank-2 initializer from the top-2 singular pair.

@@ -129,6 +129,17 @@ def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
     solver = get_solver(opts.algorithm)
     method = opts.prog_est_algorithm
 
+    # f32 rank-2 carries W TRANSPOSED through the loop: a (m, 2) carry
+    # is lane-padded 64x on TPU and every materialization pays it in
+    # real HBM bytes (see solvers/rank2 step_t).  The PG-norm math is
+    # orientation-invariant, so only the entry/exit transposes differ.
+    # f64 stays untransposed (pinned by the numpy trajectory oracles).
+    transpose_w = (opts.algorithm == NmfAlgorithm.RANK2
+                   and W0.dtype == jnp.float32)
+    if transpose_w:
+        solver = rank2.transposed
+        W0 = W0.T
+
     solver_state = solver.init(a_op, W0, H0)
     prog_state = prog_init(method, W0)
     have_pg0 = (pg0_hint is not None
@@ -237,6 +248,9 @@ def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
     )
     (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed,
      best, stall) = jax.lax.while_loop(cond, body, carry)
+
+    if transpose_w:
+        W = W.T
 
     if opts.normalize:
         W_n, H_n, _ = normalize_and_scale(W, H)
