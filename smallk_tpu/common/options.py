@@ -99,6 +99,14 @@ class NmfOptions:
     # float32, where the progress metric can floor above a tight tolerance
     # and the reference semantics would burn the full iteration budget.
     stall_patience: Optional[int] = None
+    # Solver steps executed per while-loop trip (0 = auto).  The loop
+    # machinery costs a fixed floor per trip on the device; small/thin
+    # problems are floor-bound, and running U steps per trip amortizes
+    # it U-fold.  Semantics are IDENTICAL to unroll=1: every step still
+    # runs its own progress check and the converged/failed freeze makes
+    # overshoot steps no-ops (<= U-1 wasted step-executions at the
+    # end).  Auto picks U from the per-step work estimate.
+    loop_unroll: int = 0
 
     def validate(self) -> None:
         """Raise ValueError for invalid combinations.

@@ -153,12 +153,28 @@ def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
     false_ = jnp.zeros((), jnp.bool_)
     one_f = jnp.ones((), W0.dtype)
 
+    # Steps per while-loop trip: the loop machinery costs a fixed floor
+    # per trip; tiny/thin problems (HALS at 256^2, deep hierclust
+    # buckets) are floor-bound, so U steps run per trip.  The freeze
+    # logic makes overshoot steps no-ops — semantics identical to U=1.
+    unroll = opts.loop_unroll
+    if unroll <= 0:
+        m_, n_ = a_op.shape
+        stream = 2 * m_ * n_ * jnp.dtype(a_op.dtype).itemsize
+        unroll = (8 if stream <= (4 << 20)
+                  else (2 if stream <= (32 << 20) else 1))
+
     def cond(carry):
         (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed,
          best, stall) = carry
         return (it < opts.max_iter) & ~done & ~failed
 
     def body(carry):
+        for _ in range(unroll):
+            carry = one_step(carry)
+        return carry
+
+    def one_step(carry):
         (W, H, gW, gH, sstate, pstate, it, sc, metric, done, failed,
          best, stall) = carry
 
