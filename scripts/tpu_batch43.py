@@ -60,6 +60,32 @@ def main():
     print(f"while-loop floor: {(t2200-t200)/2000*1e6:.1f} us/iter "
           f"(trivial body)", flush=True)
 
+    # --- HALS bench config with the unrolled loop (auto U=8 at 256^2)
+    from smallk_tpu.common.rng import random_matrix
+    from smallk_tpu.ops.aop import as_aop
+    from smallk_tpu.solvers.solve import nmf_solve
+
+    rngh = Random(42)
+    Ad = jnp.asarray(random_matrix(256, 256, rngh, dtype=np.float32))
+    W0 = jnp.asarray(random_matrix(256, 16, rngh, dtype=np.float32))
+    H0 = jnp.asarray(random_matrix(16, 256, rngh, dtype=np.float32))
+    aop = as_aop(np.asarray(Ad))
+    for unroll in (0, 1, 16):
+        hopts = NmfOptions(tol=1e-30, algorithm=NmfAlgorithm.HALS,
+                           height=256, width=256, k=16, min_iter=1,
+                           max_iter=2000, verbose=False,
+                           loop_unroll=unroll)
+        r = nmf_solve(aop, W0, H0, hopts)
+        np.asarray(r.W)
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = nmf_solve(aop, W0, H0, hopts)
+            np.asarray(r.W)
+            best = max(best, int(r.iterations) / (time.perf_counter() - t0))
+        print(f"HALS 256x256 k16 unroll={unroll}: {best:.0f} it/s",
+              flush=True)
+
     # --- text workloads after transposed-W + seq-all
     for name, m, n, kc, cs, k in (
         ("12c reuters-shape", 12411, 7984, 16, 11, 12),

@@ -55,7 +55,7 @@ def _dot(a, b, dims):
 
 def _hals_step_kernel(A_ref, Wt0_ref, H0_ref, HHt0_ref, AHtT0_ref,
                       Wt_ref, H_ref, gWt_ref, gH_ref, HHt_ref,
-                      AHtT_ref, *, k: int):
+                      AHtT_ref, WtW_s, WtA_s, *, k: int):
     A = A_ref[:].astype(jnp.float32)          # (m, n)
     eps = jnp.finfo(jnp.float32).eps
     lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
@@ -67,7 +67,9 @@ def _hals_step_kernel(A_ref, Wt0_ref, H0_ref, HHt0_ref, AHtT0_ref,
     def w_body(c, _):
         # column c of W == sublane row c of Wt
         hht_c = HHt0_ref[pl.ds(c, 1), :]       # (1, k) — HH' symmetric
-        whht_c = _dot(hht_c, Wt_ref[:], ((1,), (0,)))  # (1, m)
+        # (1,k)x(k,m) matvec as a VPU broadcast-reduce: the sweep is a
+        # chain of 2k dependent tiny ops — VPU latency beats MXU issue
+        whht_c = jnp.sum(hht_c.T * Wt_ref[:], axis=0, keepdims=True)
         cc = jnp.sum(jnp.where(lane_k == c, hht_c, 0.0))
         w_c = Wt_ref[pl.ds(c, 1), :]
         aht_c = AHtT0_ref[pl.ds(c, 1), :]
@@ -82,15 +84,17 @@ def _hals_step_kernel(A_ref, Wt0_ref, H0_ref, HHt0_ref, AHtT0_ref,
     jax.lax.fori_loop(0, k, w_body, 0)
 
     Wt = Wt_ref[:]
-    WtW = _dot(Wt, Wt, ((1,), (1,)))          # (k, k)
-    WtA = _dot(Wt, A, ((1,), (0,)))           # (k, n)
+    # Mosaic has no value-level dynamic_slice: the sweep reads W'W and
+    # W'A rows through VMEM scratch refs (pl.ds on refs is supported)
+    WtW_s[:] = _dot(Wt, Wt, ((1,), (1,)))     # (k, k)
+    WtA_s[:] = _dot(Wt, A, ((1,), (0,)))      # (k, n)
 
     def h_body(r, _):
-        wtw_r = jax.lax.dynamic_slice_in_dim(WtW, r, 1, axis=0)  # (1, k)
-        wtwh_r = _dot(wtw_r, H_ref[:], ((1,), (0,)))             # (1, n)
+        wtw_r = WtW_s[pl.ds(r, 1), :]                            # (1, k)
+        wtwh_r = jnp.sum(wtw_r.T * H_ref[:], axis=0, keepdims=True)
         rr = jnp.sum(jnp.where(lane_k == r, wtw_r, 0.0))
         h_r = H_ref[pl.ds(r, 1), :]
-        wta_r = jax.lax.dynamic_slice_in_dim(WtA, r, 1, axis=0)
+        wta_r = WtA_s[pl.ds(r, 1), :]
         h_new = h_r + (wta_r - wtwh_r) / rr
         h_new = jnp.where(jnp.isnan(h_new) | (h_new < 0), 0.0, h_new)
         H_ref[pl.ds(r, 1), :] = h_new
@@ -99,7 +103,7 @@ def _hals_step_kernel(A_ref, Wt0_ref, H0_ref, HHt0_ref, AHtT0_ref,
     jax.lax.fori_loop(0, k, h_body, 0)
 
     H = H_ref[:]
-    gH_ref[:] = _dot(WtW, H, ((1,), (0,))) - WtA
+    gH_ref[:] = _dot(WtW_s[:], H, ((1,), (0,))) - WtA_s[:]
     HHt = _dot(H, H, ((1,), (1,)))
     AHtT = _dot(H, A, ((1,), (1,)))           # (k, m) == (A H')^T
     HHt_ref[:] = HHt
@@ -130,6 +134,10 @@ def hals_step_pallas(A, W, H, HHt, AHt, interpret: bool = False):
             jax.ShapeDtypeStruct((k, k), f32),  # HHt'
             jax.ShapeDtypeStruct((k, m), f32),  # (A H')^T
         ),
+        scratch_shapes=[
+            pltpu.VMEM((k, k), f32),
+            pltpu.VMEM((k, n), f32),
+        ],
         interpret=interpret,
     )(A, W.T, H, HHt, AHt.T)
     Wt, H2, gWt, gH, HHt2, AHtT = outs
