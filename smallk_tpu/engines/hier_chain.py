@@ -72,15 +72,16 @@ LAST_STATS = {"segments": 0, "committed": 0, "bails": 0, "resyncs": 0}
 
 
 # Widths at/above this solve the two children SEQUENTIALLY inside the
-# branch instead of vmapped.  Trusted in-loop timings (tpu_batch41:
-# per-solve per-iteration cost is width-proportional at ~720 GB/s
-# effective and IDENTICAL at vmap batch 2 and 8, every width from 512
-# to 8192) show pair-vmap buys no throughput anywhere inside the chain
-# — it only forces 2 x max(sibling iterations) instead of i0 + i1 —
-# so ALL chain branches run their two children back to back.  (The
-# sequential ENGINE still vmaps pairs: there the win is one dispatch
-# through the ~26 ms tunnel instead of two, not device throughput.)
-SEQ_PAIR_MIN = 0
+# branch instead of vmapped.  At wide widths the solve is stream-bound
+# and batch-invariant per solve (tpu_batch41: identical per-solve cost
+# at vmap batch 2 and 8 for w >= 2048), so sequential siblings pay
+# i0 + i1 iterations instead of the vmapped 2 x max — measured -26% on
+# 20news-shape (tpu_batch43: 1.37 -> 1.09 s with the transposed-W
+# carry).  At NARROW widths a single thin solve underutilizes the chip
+# and sequential siblings LOSE (100-leaf text regressed 1.74 -> 1.98 s
+# with sequential-at-all-widths), so the threshold stays at the
+# stream-bound boundary.
+SEQ_PAIR_MIN = 4096
 
 
 def _widths(n: int):
