@@ -71,17 +71,17 @@ _MIN_BUCKET = 512     # keep in sync with hierclust._MIN_BUCKET
 LAST_STATS = {"segments": 0, "committed": 0, "bails": 0, "resyncs": 0}
 
 
-# Widths at/above this solve the two children SEQUENTIALLY inside the
-# branch instead of vmapped.  At wide widths the solve is stream-bound
-# and batch-invariant per solve (tpu_batch41: identical per-solve cost
-# at vmap batch 2 and 8 for w >= 2048), so sequential siblings pay
-# i0 + i1 iterations instead of the vmapped 2 x max — measured -26% on
-# 20news-shape (tpu_batch43: 1.37 -> 1.09 s with the transposed-W
-# carry).  At NARROW widths a single thin solve underutilizes the chip
-# and sequential siblings LOSE (100-leaf text regressed 1.74 -> 1.98 s
-# with sequential-at-all-widths), so the threshold stays at the
-# stream-bound boundary.
-SEQ_PAIR_MIN = 4096
+# Bucket sizes (m x width ELEMENTS) at/above this solve the two
+# children SEQUENTIALLY inside the branch instead of vmapped.  Once a
+# single solve is stream-bound, per-solve cost is batch-invariant
+# (tpu_batch41) and sequential siblings pay i0 + i1 iterations instead
+# of the vmapped 2 x max: -26% on 20news-shape, m=39727 (tpu_batch43:
+# 1.37 -> 1.09 s, wins down to w=512 = 2e7 elements).  Below the
+# stream-bound size a single thin solve underutilizes the chip and
+# sequential siblings LOSE (100-leaf text, m=12411, buckets <= 2048 =
+# <= 2.5e7 elements: 1.74 -> 1.98 s).  The boundary is therefore on
+# m x w, calibrated between those two measurements.
+SEQ_PAIR_MIN_ELEMS = 3.0e7
 
 
 def _widths(n: int):
@@ -276,7 +276,7 @@ def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
                     A_ext, idx, sd, wpc, n, opts, fdtype, restarts,
                     init,
                 )
-                if w >= SEQ_PAIR_MIN:
+                if m * w >= SEQ_PAIR_MIN_ELEMS:
                     # wide buckets are bandwidth-bound: run the two
                     # children one after another (pays i0 + i1
                     # iterations, not 2 x max)
