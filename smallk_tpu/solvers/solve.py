@@ -38,6 +38,10 @@ _SOLVERS = {
 
 _DEBUG_PRINT_OK = None
 
+# Module knob (benchmark ablations): carry the f32 rank-2 W factor
+# transposed through the solve loop (see _nmf_solve_impl).
+TRANSPOSE_RANK2 = True
+
 
 def _debug_print_supported() -> bool:
     """Probe once whether the backend supports host callbacks.
@@ -134,7 +138,8 @@ def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
     # real HBM bytes (see solvers/rank2 step_t).  The PG-norm math is
     # orientation-invariant, so only the entry/exit transposes differ.
     # f64 stays untransposed (pinned by the numpy trajectory oracles).
-    transpose_w = (opts.algorithm == NmfAlgorithm.RANK2
+    transpose_w = (TRANSPOSE_RANK2
+                   and opts.algorithm == NmfAlgorithm.RANK2
                    and W0.dtype == jnp.float32)
     if transpose_w:
         solver = rank2.transposed
