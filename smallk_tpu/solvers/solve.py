@@ -38,9 +38,16 @@ _SOLVERS = {
 
 _DEBUG_PRINT_OK = None
 
-# Module knob (benchmark ablations): carry the f32 rank-2 W factor
-# transposed through the solve loop (see _nmf_solve_impl).
-TRANSPOSE_RANK2 = True
+# Module knob: carry the f32 rank-2 W factor transposed through the
+# solve loop (see _nmf_solve_impl).  Measured on hardware
+# (tpu_batch46, same session, element-threshold sequential siblings):
+# 20news-shape 1.084 s transposed vs 1.036 s untransposed; 12c
+# 0.266 vs 0.264 — XLA handles the lane-padded (m, 2) carries better
+# than the padding model predicted, and the transposed products'
+# dot_general orientation costs slightly more, so the default is OFF.
+# The transposed path stays (tested, interpreter-parity) for shapes
+# where the carry tax dominates.
+TRANSPOSE_RANK2 = False
 
 
 def _debug_print_supported() -> bool:
