@@ -245,9 +245,23 @@ def bench_all():
     # transcription of the reference engine — on THIS exact workload
     # (scripts/oracle_anchor.py; see the constant below for the
     # recorded numbers and the published-rate cross-check).
+    import dataclasses as _dc
+
     G100, labels100 = planted_partition_graph(20000, 100, seed=17)
     Gn100 = normalized_adjacency(G100)
-    gopts100 = graph_clust_options(100)
+    # config (scripts/tpu_batch45/47 sweep): one start per node (the
+    # oracle also runs one; restarts=3 costs 30% and measured LOWER
+    # NMI here), fp8 A-storage (halves the dominant dense-bucket
+    # streams; the normalized 0/1-degree adjacency values lose nothing
+    # at e4m3), stall 25 / tol 3e-4 (graph solves over-converge at the
+    # text settings: 0.985 vs 0.991 NMI for 3x the iterations).  The
+    # NMI line below keeps this honest against the oracle's 0.991.
+    gopts100 = graph_clust_options(100, restarts=1)
+    gopts100 = _dc.replace(
+        gopts100,
+        nmf_opts=_dc.replace(gopts100.nmf_opts, stall_patience=25,
+                             tol=3e-4, a_dtype="float8_e4m3fn"),
+    )
     clust_hier(Gn100, gopts100, Random(1))  # compile
     dt100 = float("inf")
     tree100 = None
