@@ -192,12 +192,27 @@ class ClustOptions:
     # turns the seed lottery into a max over R draws.  Costs R x device
     # work per node; leave at 1 for text corpora.
     restarts: int = 1
+    # What to do when a node factorization fails every retry (singular
+    # 2x2 systems on structurally degenerate subsets, e.g. duplicate
+    # columns):
+    #   "abort" — reference behavior (default): the whole clustering
+    #     run errors out (clust_hier_generic.hpp:123-151 returns false).
+    #   "leaf"  — production behavior: the unsplittable node becomes a
+    #     permanent leaf (priority -2, like an exhausted TrialSplit)
+    #     and the run continues.  The graph preset uses this: planted
+    #     and real-world graphs routinely contain duplicate-neighborhood
+    #     node groups that no rank-2 solve can split.
+    on_node_failure: str = "abort"
 
     def validate(self) -> None:
         """Mirrors reference ClustOptions::IsValid (hierclust/src/clust_options.cpp)."""
         if self.init_method not in ("spectral", "random"):
             raise ValueError(
                 "clust: init_method must be 'spectral' or 'random'"
+            )
+        if self.on_node_failure not in ("abort", "leaf"):
+            raise ValueError(
+                "clust: on_node_failure must be 'abort' or 'leaf'"
             )
         if self.priority_method not in ("ndcg", "size_ndcg"):
             raise ValueError(

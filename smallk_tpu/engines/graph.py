@@ -59,6 +59,10 @@ def graph_clust_options(num_clusters: int, **overrides):
       - restarts=3: rank-2 NMF on spectrally degenerate operands is a
         seed lottery; best-of-3 by reconstruction objective stabilizes
         split quality (runs batched in one device program).
+      - on_node_failure="leaf": graphs routinely contain duplicate-
+        neighborhood node groups that no rank-2 solve can split
+        (structurally singular systems on every retry); such nodes
+        become permanent leaves instead of aborting the run.
 
     Feed the operand through `normalized_adjacency` first.
     """
@@ -75,6 +79,7 @@ def graph_clust_options(num_clusters: int, **overrides):
     kw = dict(
         nmf_opts=nmf_opts, num_clusters=num_clusters, verbose=False,
         priority_method="size_ndcg", restarts=3,
+        on_node_failure="leaf",
     )
     kw.update(overrides)
     return ClustOptions(**kw)

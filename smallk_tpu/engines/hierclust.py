@@ -321,14 +321,28 @@ def _fused_gather_solve(A_ext, idx, seed, w_parent, n_full, opts, init,
 )
 def _fused_gather_pair(A_ext, idx2, seeds2, W_parent, n_full, opts,
                        init, fdtype, restarts=1):
-    """Batched sibling solve.  `W_parent` is the parent node's (m, 2)
-    factor buffer — column i is child i's parent topic vector — passed
-    as ONE resident device array so the host never slices/stacks it."""
-    return jax.vmap(
-        lambda idx, seed, wp: _gather_body(
-            A_ext, idx, seed, wp, n_full, opts, init, fdtype, restarts
-        )
-    )(idx2, seeds2, W_parent.T)
+    """Batched sibling solve (ONE dispatch through the link for both
+    children).  `W_parent` is the parent node's (m, 2) factor buffer —
+    column i is child i's parent topic vector — passed as ONE resident
+    device array so the host never slices/stacks it.
+
+    The sibling strategy mirrors the chain's (hier_chain
+    SEQ_PAIR_MIN_ELEMS): at stream-bound bucket sizes the two solves
+    run back to back (pays i0 + i1 iterations, and keeps this program
+    structurally identical to the chain's branch so the two engines'
+    f32 trajectories stay as close as XLA allows); below it the vmap
+    batching wins on thin widths."""
+    from .hier_chain import SEQ_PAIR_MIN_ELEMS
+
+    m = A_ext.shape[0]
+    solve = lambda idx, seed, wp: _gather_body(  # noqa: E731
+        A_ext, idx, seed, wp, n_full, opts, init, fdtype, restarts
+    )
+    if m * idx2.shape[1] >= SEQ_PAIR_MIN_ELEMS:
+        outs = [solve(idx2[i], seeds2[i], W_parent.T[i])
+                for i in range(2)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    return jax.vmap(solve)(idx2, seeds2, W_parent.T)
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "init", "fdtype",
@@ -819,6 +833,16 @@ def _actual_split(runner: _Rank2Runner, subset, w_parent,
         subset, w_parent
     )
     if not ns.ok:
+        if runner.opts.on_node_failure == "leaf":
+            # production mode: an unsplittable node (e.g. duplicate
+            # columns -> structurally singular 2x2 systems on every
+            # retry) becomes a permanent leaf, like an exhausted
+            # TrialSplit, instead of aborting the whole run
+            if runner.opts.verbose:
+                print("\nNode factorization failed on every retry; "
+                      "keeping the node as a leaf.")
+            return -2.0, np.zeros((m, 2)), np.zeros(len(subset),
+                                                    dtype=bool)
         raise RuntimeError(
             "HierNMF2: node factorization failed after three attempts."
         )

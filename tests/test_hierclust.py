@@ -736,3 +736,43 @@ class TestCheckpointGuards:
         tree, _ = clust_hier(A, opts, Random(1), checkpoint_path=ck)
         np.testing.assert_array_equal(tree.assignments,
                                       ref_tree.assignments)
+
+
+def test_on_node_failure_leaf(monkeypatch):
+    """on_node_failure="leaf": an unsplittable node (every solve retry
+    fails) becomes a permanent leaf instead of aborting the run
+    (graph-preset production behavior; the reference aborts,
+    clust_hier_generic.hpp:123-151)."""
+    import dataclasses
+
+    from smallk_tpu.engines import hierclust as hc
+
+    A, _ = _planted_matrix(m=96, n=900, k=5, seed=4)
+    opts = _clust_opts(5)
+
+    # force every non-root solve to fail
+    orig_solve = hc._Rank2Runner.solve
+    calls = {"n": 0}
+
+    def failing_solve(self, subset=None, w_parent=None, max_attempts=3):
+        if subset is None:
+            return orig_solve(self, subset, w_parent, max_attempts)
+        calls["n"] += 1
+        return hc._NodeSolve(None, None, None, -1.0, False)
+
+    monkeypatch.setattr(hc._Rank2Runner, "solve", failing_solve)
+    monkeypatch.setattr(hc, "PAIR_BATCHING", False)
+    from smallk_tpu.engines import hier_chain
+
+    monkeypatch.setattr(hier_chain, "CHAIN", False)
+
+    with pytest.raises(RuntimeError):
+        clust_hier(A, opts, Random(3))
+
+    opts_leaf = dataclasses.replace(opts, on_node_failure="leaf")
+    tree, stats = clust_hier(A, opts_leaf, Random(3))
+    # both root children became permanent leaves; the run completed
+    leaves = [q for q, lf in enumerate(tree.is_leaf) if lf]
+    assert len(leaves) == 2
+    assert all(tree.nodes[q].priority == -2.0 for q in leaves)
+    assert (tree.assignments >= 0).all()
