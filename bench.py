@@ -70,10 +70,10 @@ def bench_all():
     )
     clust_hier(A, copts, Random(1))  # compile
     dt = float("inf")
-    # best-of-2 over the SAME seed (identical workload — damps the
+    # best-of-3 over the SAME seed (identical workload — damps the
     # +-40% tunnel-device variance without cherry-picking an easier
     # problem instance)
-    for _rep in range(2):
+    for _rep in range(3):
         t0 = time.perf_counter()
         _, _ = clust_hier(A, copts, Random(2))
         dt = min(dt, time.perf_counter() - t0)
@@ -92,7 +92,7 @@ def bench_all():
     )
     clust_hier(A2, copts2, Random(1))  # compile
     dt2 = float("inf")
-    for _rep in range(2):  # same-seed best-of-2 (see above)
+    for _rep in range(3):  # same-seed best-of-3 (see above)
         t0 = time.perf_counter()
         _, _ = clust_hier(A2, copts2, Random(2))
         dt2 = min(dt2, time.perf_counter() - t0)
@@ -265,7 +265,7 @@ def bench_all():
     clust_hier(Gn100, gopts100, Random(1))  # compile
     dt100 = float("inf")
     tree100 = None
-    for _rep in range(2):  # same-seed best-of-2 (see above)
+    for _rep in range(3):  # same-seed best-of-3 (see above)
         t0 = time.perf_counter()
         tree100, _ = clust_hier(Gn100, gopts100, Random(2))
         dt100 = min(dt100, time.perf_counter() - t0)

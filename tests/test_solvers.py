@@ -711,3 +711,29 @@ def test_hals_pallas_step_parity(monkeypatch):
     monkeypatch.setattr(hals, "PALLAS_STEP", "pallas")
     o2 = hals.step(op, W2, H, st2)
     np.testing.assert_allclose(o2[0], r2[0], rtol=2e-5, atol=2e-6)
+
+
+def test_loop_unroll_equivalence():
+    """loop_unroll=U runs U solver steps per while-loop trip; the
+    freeze logic makes results identical to unroll=1 (solve.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
+    from smallk_tpu.ops.aop import DenseAOp
+    from smallk_tpu.solvers.solve import nmf_solve
+
+    rs = np.random.RandomState(0)
+    A = jnp.asarray(rs.rand(48, 40).astype(np.float32))
+    W0 = jnp.asarray(rs.rand(48, 6).astype(np.float32))
+    H0 = jnp.asarray(rs.rand(6, 40).astype(np.float32))
+    base = NmfOptions(tol=1e-3, algorithm=NmfAlgorithm.HALS, height=48,
+                      width=40, k=6, min_iter=1, max_iter=500,
+                      verbose=False)
+    r1 = nmf_solve(DenseAOp(A), W0, H0, base)
+    r4 = nmf_solve(DenseAOp(A), W0, H0,
+                   dataclasses.replace(base, loop_unroll=4))
+    assert int(r1.iterations) == int(r4.iterations)
+    np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r4.W))
+    np.testing.assert_array_equal(np.asarray(r1.H), np.asarray(r4.H))
