@@ -53,3 +53,21 @@ def test_smallk_example_synthetic(capsys):
     _run_example("examples/smallk_example.py", ["--synthetic"])
     out = capsys.readouterr().out
     assert "HierNmf2" in out
+
+
+def test_community_graph_driver(tmp_path, capsys):
+    """Graph community workflow end to end (examples/drivers/
+    community_graph.py): planted graph -> normalized adjacency ->
+    graph-preset hierclust -> scored assignments."""
+    _run_example(
+        "examples/drivers/community_graph.py",
+        ["--communities", "4", "--seed", "5", "--outdir",
+         str(tmp_path)],
+    )
+    out = capsys.readouterr().out
+    assert "NMI=" in out
+    import numpy as np
+
+    assign = np.loadtxt(tmp_path / "communities_4.csv", delimiter=",",
+                        dtype=np.int64)
+    assert assign.shape == (3000,)
