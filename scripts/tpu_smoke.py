@@ -130,6 +130,38 @@ def hierclust_device_loop():
     assert nmi > 0.6, "community recovery regressed"
 
 
+def hals_kernel_parity():
+    """Whole-step HALS Pallas kernel vs the XLA step ON HARDWARE (the
+    CPU test runs the interpreter; Mosaic lowering differences only
+    show here).  One step from identical state must agree to f32
+    roundoff."""
+    import jax.numpy as jnp
+
+    from smallk_tpu.common.rng import Random, random_matrix
+    from smallk_tpu.ops.aop import DenseAOp
+    from smallk_tpu.solvers import hals
+
+    rng = Random(42)
+    A = jnp.asarray(random_matrix(256, 256, rng, dtype=np.float32))
+    W0 = jnp.asarray(random_matrix(256, 16, rng, dtype=np.float32))
+    H0 = jnp.asarray(random_matrix(16, 256, rng, dtype=np.float32))
+    op = DenseAOp(A)
+    st = hals.init(op, W0, H0)
+    old = hals.PALLAS_STEP
+    try:
+        hals.PALLAS_STEP = "xla"
+        ref = hals.step(op, W0, H0, st)
+        hals.PALLAS_STEP = "pallas"
+        out = hals.step(op, W0, H0, st)
+    finally:
+        hals.PALLAS_STEP = old
+    errW = float(jnp.max(jnp.abs(out[0] - ref[0])))
+    errH = float(jnp.max(jnp.abs(out[1] - ref[1])))
+    print(f"  kernel-vs-xla one-step maxerr: W {errW:.2e} H {errH:.2e}",
+          flush=True)
+    assert errW < 1e-4 and errH < 1e-4
+
+
 def other_algorithms():
     """MU / HALS / RANK2 f32 convergence plus flatclust end-to-end
     (direct and hier-refined) — the non-BPP solver families on real
@@ -249,6 +281,7 @@ section("BPP convergence across ranks", bpp_convergence)
 section("Pallas masked-GJ at awkward widths", pallas_kernel_widths)
 section("device-resident hierclust", hierclust_device_loop)
 section("chain vs sequential quality gate", chain_quality_gate)
+section("HALS whole-step kernel parity", hals_kernel_parity)
 section("MU/HALS/RANK2 + flatclust", other_algorithms)
 print(f"[done] failures: {FAILURES or 'none'}", flush=True)
 raise SystemExit(1 if FAILURES else 0)
