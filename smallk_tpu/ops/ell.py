@@ -212,6 +212,11 @@ class EllAOp:
         def block(idx_b, vals_b):
             gb = jnp.take(table, idx_b.reshape(-1), axis=0)
             gb = gb.reshape(idx_b.shape[0], L, k)
+            if jnp.dtype(vals_b.dtype).itemsize == 1:
+                # 8-bit floats have no implicit promotion path; upcast
+                # explicitly (the MXU consumes bf16 anyway)
+                vals_b = vals_b.astype(jnp.bfloat16)
+                gb = gb.astype(jnp.bfloat16)
             return jnp.einsum(
                 "gl,glk->gk", vals_b, gb,
                 precision=_PRECISION,
@@ -259,12 +264,22 @@ class EllAOp:
             return jnp.float64
         return jnp.float32
 
+    @property
+    def _out_dtype(self):
+        """Product output dtype: the storage dtype, except 8-bit floats
+        (a product rounded back to fp8 would destroy the solvers'
+        Grams) which emit bf16."""
+        if jnp.dtype(self.dtype).itemsize == 1:
+            return jnp.bfloat16
+        return jnp.dtype(self.dtype)
+
     def mm_tn(self, W):
         """W^T A -> (k, n): per column j, sum of vals * W[row]."""
         zero = jnp.zeros((1, W.shape[1]), W.dtype)
         if self.col_blocks is None:
             table = jnp.concatenate([W, zero], axis=0)
-            return self._product(self.col_buckets, self.col_inv, table).T
+            return self._product(self.col_buckets, self.col_inv, table,
+                                 out_dtype=self._out_dtype).T
         # term-blocked: gather each block's nonzeros from only its slice
         # of the W table, accumulate the (n, k) partials, round once
         acc = self._acc_dtype(W)
@@ -276,7 +291,7 @@ class EllAOp:
             part = self._product(cb_b, inv_b, tab, out_dtype=acc)
             out = part if out is None else out + part
             b0 = b1
-        return out.astype(self.dtype).T
+        return out.astype(self._out_dtype).T
 
     def mm_nt(self, H):
         """A H^T -> (m, k): per row i, sum of vals * H[:, col]."""
@@ -284,7 +299,8 @@ class EllAOp:
             table = jnp.concatenate(
                 [H.T, jnp.zeros((1, H.shape[0]), H.dtype)], axis=0
             )
-            return self._product(self.row_buckets, self.row_inv, table)
+            return self._product(self.row_buckets, self.row_inv, table,
+                                 out_dtype=self._out_dtype)
         # doc-blocked: gather each block's nonzeros from only its slice
         # of the H-transpose table (static slice bounds — one compile),
         # then accumulate the (m, k) partials.  Partials stay in the
@@ -302,7 +318,7 @@ class EllAOp:
             part = self._product(rb_b, inv_b, tab, out_dtype=acc)
             out = part if out is None else out + part
             b0 = b1
-        return out.astype(self.dtype)
+        return out.astype(self._out_dtype)
 
     def col_sums(self):
         ones = jnp.ones((self._shape[0], 1), self.dtype)
