@@ -122,10 +122,11 @@ def bench_all():
                               max_iter=iters, verbose=False,
                               a_dtype="bfloat16")
         r = nmf_solve(aop_hi, W0h, H0h, hopts_hi)
-        r.W.block_until_ready()  # compile
+        int(r.iterations)  # compile + consume (block_until_ready can
+        #                    return early through the tunnel, batch31/32)
         t0 = time.perf_counter()
         r = nmf_solve(aop_hi, W0h, H0h, hopts_hi)
-        r.W.block_until_ready()
+        int(r.iterations)
         walls[iters] = time.perf_counter() - t0
     # guard the two-point fit: host timing noise could make the 25-iter
     # wall <= the 5-iter wall, which must not poison the recorded metric
@@ -166,10 +167,10 @@ def bench_all():
                         max_iter=iters, verbose=False,
                         a_dtype="bfloat16")
         r = nmf_solve(op1, W01, H01, o1)
-        r.W.block_until_ready()  # compile
+        int(r.iterations)  # compile + consume (see k128 fit above)
         t0 = time.perf_counter()
         r = nmf_solve(op1, W01, H01, o1)
-        r.W.block_until_ready()
+        int(r.iterations)
         walls1[iters] = time.perf_counter() - t0
     rate1 = 4.0 / max(walls1[6] - walls1[2], 1e-6)
     del op1, W01, H01, r
