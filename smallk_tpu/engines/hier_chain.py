@@ -41,8 +41,10 @@ redundant redo but can never commit a split the reference would have
 trial-dropped.
 
 The chain is used only on the common fast path: dense A, random or
-spectral init, no initdir, no mesh, no checkpointing (checkpoint
-cadence is per split; chain mode would coarsen it).
+spectral init, no initdir, no mesh.  Checkpointing runs at SEGMENT
+granularity under the chain (clust_hier saves after every committed
+segment) — coarser than the sequential engine's per-split cadence but
+preemption-safe at full chain speed.
 """
 
 from __future__ import annotations
@@ -443,7 +445,6 @@ class ChainDriver:
             and opts.init_method in ("random", "spectral")
             and opts.priority_method in ("ndcg", "size_ndcg")
             and mesh is None
-            and checkpoint_path is None
             and interrupt_after is None
             and len(_widths(runner.n)) > 0
         )

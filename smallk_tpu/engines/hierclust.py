@@ -980,9 +980,13 @@ def _save_hier_checkpoint(path, tree, W_buffer, L_buffer, rng, stats,
     )
     for idx, (Wb, Lb) in enumerate(zip(W_buffer, L_buffer)):
         if Wb is not None:
+            if isinstance(Wb, SlabPair):  # chain-resident factor block
+                Wb = Wb.materialize()
             payload[f"Wbuf_{idx}"] = np.asarray(Wb)
             payload[f"Lbuf_{idx}"] = np.asarray(Lb, dtype=bool)
     if root_W is not None:
+        if isinstance(root_W, SlabPair):
+            root_W = root_W.materialize()
         payload["root_W"] = np.asarray(root_W)
         payload["root_left"] = np.asarray(root_left, dtype=bool)
     atomic_savez(path, payload, suffix=".hckpt.tmp")
@@ -1115,6 +1119,12 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                                         checkpoint_path,
                                         _interrupt_after):
         chain = hier_chain.ChainDriver(runner, node_count)
+        if W is not None and start_i == 0:
+            # resuming a checkpoint whose root was already factored
+            # (e.g. written by the sequential engine): hand the root to
+            # the chain so it does not redraw the root seed
+            chain._root_W = W
+            chain._root_left = np.asarray(left, bool)
 
     if W is None and start_i == 0 and chain is None:
         # factor the root eagerly (<= 3 attempts); under the chain the
@@ -1139,10 +1149,22 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
         while i < num_clusters - 1:
             if chain is not None and not force_sequential:
                 runner._cancel_spec()
+                i0_seg = i
                 i, outcome = chain.run_segment(
                     i, num_clusters, tree, W_buffer, L_buffer, stats,
                     opts,
                 )
+                if checkpoint_path and i > i0_seg:
+                    # preemption safety at SEGMENT granularity (the
+                    # chain's natural unit; per-split cadence would
+                    # re-introduce one fetch per split).  Slab-resident
+                    # factor blocks are materialized by the saver.
+                    _save_hier_checkpoint(
+                        checkpoint_path, tree, W_buffer, L_buffer, rng,
+                        stats, i, root_W=chain._root_W,
+                        root_left=chain._root_left, config=ckpt_config,
+                        init_counter=inits.counter,
+                    )
                 if outcome == "done":
                     if opts.verbose:
                         print("\nHierNMF2: no further factorization "

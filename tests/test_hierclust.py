@@ -5,6 +5,8 @@ Reference test model: golden-tree comparison on fixed initializers
 synthetic data with planted cluster structure (SURVEY.md §4 implications).
 """
 
+import os
+
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -575,9 +577,17 @@ class TestMultiSplitChain:
 
         monkeypatch.setattr(hier_chain.ChainDriver, "run_segment", spy)
 
-        # checkpointing disables the chain (per-split cadence)
+        # checkpointing now RUNS under the chain (segment-granularity
+        # saves) ...
         clust_hier(A, opts, Random(21),
                    checkpoint_path=str(tmp_path / "c.npz"))
+        assert len(calls) >= 1
+        calls.clear()
+
+        # ... but the test interrupt hook still forces the sequential
+        # engine (its cadence contract is per split)
+        with pytest.raises(KeyboardInterrupt):
+            clust_hier(A, opts, Random(21), _interrupt_after=2)
         assert calls == []
 
         import dataclasses
@@ -776,3 +786,41 @@ def test_on_node_failure_leaf(monkeypatch):
     assert len(leaves) == 2
     assert all(tree.nodes[q].priority == -2.0 for q in leaves)
     assert (tree.assignments >= 0).all()
+
+
+def test_chain_checkpoint_resume(monkeypatch, tmp_path):
+    """Checkpointing now coexists with the chain (segment-granularity
+    saves): interrupting mid-run and resuming reproduces the
+    uninterrupted chain run exactly."""
+    from smallk_tpu.engines import hier_chain
+    from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+
+    A, _ = synthetic_term_doc_corpus(700, 1400, 10, seed=5)
+    A = np.asarray(A.todense()).astype(np.float64)
+    opts = _clust_opts(10)
+    monkeypatch.setattr(hier_chain, "CHAIN", True)
+    monkeypatch.setattr(hier_chain, "CHAIN_SEG", 4)
+
+    ref_tree, ref_stats = clust_hier(A, opts, Random(21))
+
+    ckpt = str(tmp_path / "chain.ckpt")
+    calls = {"n": 0}
+    orig = hier_chain.ChainDriver.run_segment
+
+    def interrupting(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt("test interrupt")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(hier_chain.ChainDriver, "run_segment",
+                        interrupting)
+    with pytest.raises(KeyboardInterrupt):
+        clust_hier(A, opts, Random(21), checkpoint_path=ckpt)
+    monkeypatch.setattr(hier_chain.ChainDriver, "run_segment", orig)
+    assert os.path.exists(ckpt)
+
+    tree, stats = clust_hier(A, opts, Random(21), checkpoint_path=ckpt)
+    np.testing.assert_array_equal(tree.assignments, ref_tree.assignments)
+    assert [n.priority for n in tree.nodes] == \
+        [n.priority for n in ref_tree.nodes]
