@@ -35,6 +35,31 @@ VERSION_MAJOR, VERSION_MINOR, VERSION_PATCH = (
 )
 
 
+def _enable_compile_cache():
+    """Opt-in persistent XLA compilation cache.
+
+    The engines compile one program per (algorithm, bucket-width)
+    variant — tens of programs, ~20-40 s of cold-start on a TPU chip.
+    The reference is ahead-of-time C++ with no compile step, so this is
+    the TPU-native answer to its instant startup: set
+    SMALLK_TPU_COMPILE_CACHE=<dir> (or call this after setting the env
+    var) and repeat runs load every program from disk.
+    """
+    path = _os.environ.get("SMALLK_TPU_COMPILE_CACHE")
+    if not path:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every compile, however small/fast (the width-ladder variants
+    # individually compile in well under the default 1 s threshold)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_enable_compile_cache()
+
+
 class Algorithm(enum.Enum):
     """Reference: smallk::Algorithm (smallk.hpp:34-43)."""
 

@@ -124,3 +124,36 @@ def test_load_matrix_buffer_forms():
     smallk.LoadMatrix(3, 2, 2, data, rows, cols)
     S = smallk._state.matrix
     assert S.shape == (3, 2) and S[0, 0] == 1.0 and S[2, 1] == 2.0
+
+
+def test_compile_cache_opt_in(tmp_path):
+    """SMALLK_TPU_COMPILE_CACHE=<dir> persists compiled programs.
+
+    Subprocess: the facade reads the env var at import, before jax's
+    first backend use (too late in this already-initialized process).
+    """
+    import subprocess
+    import sys
+
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "import smallk_tpu\n"
+        "from smallk_tpu.common.options import NmfAlgorithm, NmfOptions\n"
+        "from smallk_tpu.ops.aop import as_aop\n"
+        "from smallk_tpu.solvers.solve import nmf_solve\n"
+        "import jax.numpy as jnp\n"
+        "rs = np.random.RandomState(0)\n"
+        "op = as_aop(rs.rand(32, 24).astype(np.float32))\n"
+        "o = NmfOptions(algorithm=NmfAlgorithm.HALS, height=32, width=24,\n"
+        "               k=4, max_iter=5, min_iter=1, verbose=False)\n"
+        "r = nmf_solve(op, jnp.asarray(rs.rand(32, 4), jnp.float32),\n"
+        "              jnp.asarray(rs.rand(4, 24), jnp.float32), o)\n"
+        "r.W.block_until_ready()\n"
+    )
+    env = dict(os.environ, SMALLK_TPU_COMPILE_CACHE=str(cache))
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   timeout=300)
+    assert any(cache.iterdir()), "no cache entries written"
