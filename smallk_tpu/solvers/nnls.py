@@ -29,15 +29,14 @@ from ..ops.dense import _PRECISION, gemm, zeroize_small
 PBAR = 3
 
 # Masked-solve backend:
-#   "auto"   (default) — on TPU f32, EVERY rank whose scratch fits VMEM
-#            uses the VMEM-resident Pallas GJ kernel
-#            (solvers/pallas_kernels.py; measured winner at k=8..128,
-#            scripts/tpu_batch10/11) whose HBM traffic is O(k n) instead
-#            of the XLA formulation's O(k^2 n) per elimination pass —
-#            EXCEPT at huge n*k^3 (high rank x ~million columns), where
-#            the GJ's O(n k^3) VPU elimination is the whole BPP
-#            bottleneck (1.96 s/solve at k=128, n=1M) and the
-#            MXU-centric CG path below takes over.
+#   "auto"   (default) — on TPU f32, small problems (n*k^3 below
+#            _CG_MIN_WORK) use the VMEM-resident Pallas GJ kernel
+#            (solvers/pallas_kernels.py) whose HBM traffic is O(k n)
+#            instead of the XLA formulation's O(k^2 n) per elimination
+#            pass; everything wider routes to the warm-started masked
+#            CG (the GJ's O(n k^3) serial-k VPU elimination loses to
+#            <= k+16 MXU matmuls from n*k^3 ~ 2e6 up — crossover grid
+#            at _CG_MIN_WORK below).
 #            Elsewhere (CPU, f64, or VMEM-overflowing ranks): k below
 #            _COMPACT_MIN_K uses the XLA unrolled GJ (fuses into the
 #            pivot while_loop), k at or above it the compact-passive
@@ -48,13 +47,26 @@ PBAR = 3
 MASKED_SOLVER = "auto"
 
 # auto mode switches to CG when n * k^3 (the GJ elimination's VPU flop
-# scale) exceeds this.  The measured GJ rate is ~2.1e12 elimination
-# flops/s on v5e, so 1e12 ~= half a second of pure VPU time per solve
-# (k=128 x 1M columns measures 1.96 s, tpu_batch23); CG replaces it
-# with <= k+16 MXU matmuls against the shared k x k LHS.  The threshold
-# deliberately clears the validated Pallas-GJ hot paths (k=128 at
-# reuters width is 6.7e9; the 1M-doc flagship is 2.1e12).
-_CG_MIN_WORK = 1.0e12
+# scale) exceeds this.  Crossover grid measured end-to-end on v5e BPP
+# (scripts/tpu_batch55/56, fresh process per mode, two-point fits):
+#
+#   shape (n, k)      n*k^3    GJ it/s   CG it/s
+#   256 x 256, k=8    1.3e5     34772     17371   GJ
+#   256 x 256, k=16   1.0e6     14838     13074   GJ
+#   256 x 256, k=32   8.4e6      7259     12928   CG
+#   reuters,   k=8    4.1e6      1394      1531   CG (+10%)
+#   reuters,   k=16   3.3e7       849      1353   CG (+59%)
+#   reuters,   k=32   2.6e8       226      1079   CG (4.8x)
+#   reuters,   k=64   2.1e9        58       301   CG (5.2x)
+#   reuters,   k=128  1.7e10       11       198   CG (18x)
+#   1M docs,   k=128  2.1e12     ~0.5      ~9     CG (tpu_batch23)
+#
+# The GJ's O(n k^3) serial-k VPU elimination loses to CG's <= k+16
+# warm-started MXU matmuls as soon as the elimination work outweighs
+# the CG latency chain — between 1e6 and 4e6.  Tolerance-run parity at
+# k=128: 205 (GJ) vs 216 (CG) iterations to tol 0.005, identical
+# relative error to 5 decimals (tpu_batch55).
+_CG_MIN_WORK = 2.0e6
 
 
 def set_masked_solver(name: str) -> None:
