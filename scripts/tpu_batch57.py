@@ -33,7 +33,10 @@ def main():
 
     G100, labels100 = planted_partition_graph(20000, 100, seed=17)
     Gn100 = normalized_adjacency(G100)
-    gopts = graph_clust_options(100, restarts=1)
+    import sys
+
+    init = sys.argv[1] if len(sys.argv) > 1 else "random"
+    gopts = graph_clust_options(100, restarts=1, init_method=init)
     gopts = dc.replace(
         gopts,
         nmf_opts=dc.replace(gopts.nmf_opts, stall_patience=25, tol=3e-4,
