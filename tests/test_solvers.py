@@ -737,3 +737,38 @@ def test_loop_unroll_equivalence():
     assert int(r1.iterations) == int(r4.iterations)
     np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r4.W))
     np.testing.assert_array_equal(np.asarray(r1.H), np.asarray(r4.H))
+
+
+class TestMaskedSolverDispatch:
+    """The auto dispatch must route by the measured crossover: wide
+    problems (n*k^3 >= _CG_MIN_WORK) to the CG tier, small ones to the
+    VMEM GJ kernel (crossover grid in nnls.py / scripts/tpu_batch55-56).
+    The TPU-only gate is monkeypatched so the routing logic itself is
+    testable on the CPU suite."""
+
+    def _route(self, monkeypatch, k, n):
+        import smallk_tpu.solvers.nnls as nn
+
+        called = {}
+        monkeypatch.setattr(nn, "_pallas_ok", lambda dtype: True)
+        monkeypatch.setattr(nn, "_cg_solve_block",
+                            lambda *a, **kw: called.setdefault("cg", True))
+        import smallk_tpu.solvers.pallas_kernels as pk
+
+        monkeypatch.setattr(
+            pk, "masked_gj_solve_pallas",
+            lambda *a, **kw: called.setdefault("pallas", True),
+        )
+        LHS = jnp.asarray(np.eye(k), jnp.float32)
+        RHS = jnp.ones((k, n), jnp.float32)
+        passive = jnp.ones((k, n), bool)
+        nn._masked_cholesky_solve(LHS, RHS, passive)
+        return called
+
+    def test_wide_routes_to_cg(self, monkeypatch):
+        # reuters width at k=8: n*k^3 = 4.1e6 > 2e6 -> CG
+        assert self._route(monkeypatch, 8, 7984) == {"cg": True}
+
+    def test_small_routes_to_gj_kernel(self, monkeypatch):
+        # flatclust 256-wide at k=16: 1.0e6 < 2e6 -> VMEM GJ kernel
+        assert self._route(monkeypatch, 16, 256) == {"pallas": True}
