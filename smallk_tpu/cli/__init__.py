@@ -35,3 +35,24 @@ def run_cli(main, argv=None) -> int:
     except Exception as e:
         print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
         return int(Result.FAILURE)
+
+
+def add_common_flags(parser) -> None:
+    """Flags shared by all five tools (extensions beyond the reference)."""
+    parser.add_argument(
+        "--compile-cache", default="", metavar="DIR",
+        help="persist compiled XLA programs under DIR so repeat runs "
+             "skip cold-start compilation (same as the "
+             "SMALLK_TPU_COMPILE_CACHE env var)",
+    )
+
+
+def apply_common_flags(args) -> None:
+    import os
+
+    path = getattr(args, "compile_cache", "")
+    if path:
+        os.environ["SMALLK_TPU_COMPILE_CACHE"] = path
+        import smallk_tpu
+
+        smallk_tpu._enable_compile_cache()

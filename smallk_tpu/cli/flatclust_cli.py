@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     # extension beyond the reference CLI: shard A/W/H over a
     # (terms, docs) device mesh, e.g. --mesh 1x8
     p.add_argument("--mesh", default="", metavar="TxD")
+    from . import add_common_flags
+
+    add_common_flags(p)
     return p
 
 
@@ -51,6 +54,9 @@ def main(argv=None) -> int:
     from ..io.loader import load_matrix, load_strings
 
     args = build_parser().parse_args(argv)
+    from . import apply_common_flags
+
+    apply_common_flags(args)
 
     A = load_matrix(args.matrixfile)
     dictionary = load_strings(args.dictfile)

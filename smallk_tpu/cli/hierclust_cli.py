@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "this shape, e.g. 1x8 (all available devices "
                         "when the product matches); empty = single "
                         "device")
+    from . import add_common_flags
+
+    add_common_flags(p)
     return p
 
 
@@ -77,6 +80,9 @@ def main(argv=None) -> int:
 
     parser = build_parser()
     args = parser.parse_args(argv)
+    from . import apply_common_flags
+
+    apply_common_flags(args)
 
     A = load_matrix(args.matrixfile)
     dictionary = load_strings(args.dictfile)

@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", type=int, default=6)
     p.add_argument("--nz_per_col", type=int, default=1)
     p.add_argument("--seed", type=int, default=None)
+    from . import add_common_flags
+
+    add_common_flags(p)
     return p
 
 
@@ -36,6 +39,9 @@ def main(argv=None) -> int:
     from ..io.matrix_market import write_matrix_market
 
     args = build_parser().parse_args(argv)
+    from . import apply_common_flags
+
+    apply_common_flags(args)
 
     M = generate(
         args.height, args.width, args.type, rng=Random(args.seed),

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RNG seed for random initializers")
     p.add_argument("--dtype", default="float32",
                    help="device dtype (float32/float64)")
+    from . import add_common_flags
+
+    add_common_flags(p)
     return p
 
 
@@ -49,6 +52,9 @@ def main(argv=None) -> int:
     from ..io.loader import load_matrix
 
     args = build_parser().parse_args(argv)
+    from . import apply_common_flags
+
+    apply_common_flags(args)
 
     if args.verbose:
         # option dump, as the reference tools print before each run

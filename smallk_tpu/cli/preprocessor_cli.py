@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxiter", type=int, default=1000)
     p.add_argument("--precision", type=int, default=4)
     p.add_argument("--boolean_mode", type=int, default=0)
+    from . import add_common_flags
+
+    add_common_flags(p)
     return p
 
 
@@ -36,6 +39,9 @@ def main(argv=None) -> int:
     from ..io.matrix_market import load_matrix_market, write_matrix_market
 
     args = build_parser().parse_args(argv)
+    from . import apply_common_flags
+
+    apply_common_flags(args)
 
     print("\n      Command line options:\n")
     print(f"            indir: {args.indir}")

@@ -217,3 +217,20 @@ def test_cli_result_exit_codes(tmp_path):
     assert hier_entry(["--clusters", "4"]) == int(Result.BAD_PARAM)
     # --help -> OK
     assert hier_entry(["--help"]) == int(Result.OK)
+
+
+def test_compile_cache_flag(tmp_path):
+    """--compile-cache DIR persists compiled programs (all five tools
+    accept it; exercised through matrixgen, the cheapest)."""
+    from smallk_tpu.cli.matrixgen_cli import main as mg_main
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    out = tmp_path / "m.csv"
+    rc = mg_main(["--height", "8", "--width", "6", "--filename", str(out),
+                  "--type", "UNIFORM", "--compile-cache", str(cache)])
+    assert rc in (0, None)
+    assert out.exists()
+    import os
+
+    assert os.environ.get("SMALLK_TPU_COMPILE_CACHE") == str(cache)
