@@ -405,3 +405,35 @@ def test_two_process_distributed_matches_single(tmp_path):
         np.testing.assert_array_equal(z0["assign"],
                                       ref_tree.assignments)
         np.testing.assert_array_equal(z0["leaf_terms"], ref_terms)
+
+
+def test_cg_solve_tier_shards():
+    """The warm-started masked CG (the TPU auto tier for wide problems,
+    nnls._CG_MIN_WORK) must execute correctly under GSPMD: its
+    while_loop condition reduces over sharded columns (psum inserted by
+    XLA) and its per-column freezing must respect the sharding.  Forced
+    via MASKED_SOLVER="cg" (the auto gate is TPU-only)."""
+    import smallk_tpu.solvers.nnls as nn
+
+    A, W0, H0, opts = _problem(m=96, n=64, k=8)
+    a_op = DenseAOp(jnp.asarray(A))
+    W0j, H0j = jnp.asarray(W0), jnp.asarray(H0)
+
+    nn.set_masked_solver("cg")
+    try:
+        ref = nmf_solve(a_op, W0j, H0j, opts)
+        mesh = make_mesh((2, 4))
+        out = sharded_nmf_solve(a_op, W0j, H0j, opts, mesh)
+    finally:
+        nn.set_masked_solver("auto")
+
+    assert bool(out.success)
+    assert int(out.iterations) == int(ref.iterations)
+    # CG is iterative: sharded reductions reorder float sums, so parity
+    # is residual-level, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(out.W), np.asarray(ref.W), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.H), np.asarray(ref.H), rtol=1e-6, atol=1e-8
+    )
