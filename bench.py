@@ -150,8 +150,12 @@ def bench_all():
     # doc-blocked bucketed ELL).  The reference cannot run this size at
     # all (signed-int32 m*k / k*n checks, common/src/nmf.cpp:195-210);
     # vs_baseline is the ratio to the 1 it/s round-3 target (VERDICT r2
-    # #4).  Bulk sampler instead of matrixgen's exact rejection sampler
-    # (143 s at this size); duplicates summed, same corpus statistics.
+    # #4).  NOTE (round-4 correction): pre-fix rounds measured ~1.1-1.2
+    # here on a silently degenerate solve (bf16 product-output bug,
+    # ops/ell._res_dtype); the honest live-factor rate is ~0.69 it/s —
+    # see docs/benchmarks.md "Measurement correction".  Bulk sampler
+    # instead of matrixgen's exact rejection sampler (143 s at this
+    # size); duplicates summed, same corpus statistics.
     import scipy.sparse as _sp
 
     from smallk_tpu.ops.ell import EllAOp

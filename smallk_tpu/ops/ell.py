@@ -266,20 +266,33 @@ class EllAOp:
 
     @property
     def _out_dtype(self):
-        """Product output dtype: the storage dtype, except 8-bit floats
-        (a product rounded back to fp8 would destroy the solvers'
-        Grams) which emit bf16."""
+        """Factor-free products' output dtype (col_sums): the storage
+        dtype, except 8-bit floats which emit bf16."""
         if jnp.dtype(self.dtype).itemsize == 1:
             return jnp.bfloat16
         return jnp.dtype(self.dtype)
 
+    @staticmethod
+    def _res_dtype(factor):
+        """Product result dtype: the FACTOR (compute) dtype — the
+        DenseAOp/SparseAOp contract.  Quantized A-storage must not
+        round the solvers' W'A / AH' below the compute precision: a
+        bf16-rounded RHS biases BPP's f32 gradient sign tests and
+        collapses every pivot to the zero solution (the factors zero
+        out within an iteration; caught on the bf16-ELL 1M-doc config).
+        8-bit factors (never used by the solvers) floor at bf16."""
+        if jnp.dtype(factor.dtype).itemsize == 1:
+            return jnp.bfloat16
+        return jnp.dtype(factor.dtype)
+
     def mm_tn(self, W):
         """W^T A -> (k, n): per column j, sum of vals * W[row]."""
+        res = self._res_dtype(W)
         zero = jnp.zeros((1, W.shape[1]), W.dtype)
         if self.col_blocks is None:
             table = jnp.concatenate([W, zero], axis=0)
             return self._product(self.col_buckets, self.col_inv, table,
-                                 out_dtype=self._out_dtype).T
+                                 out_dtype=res).T
         # term-blocked: gather each block's nonzeros from only its slice
         # of the W table, accumulate the (n, k) partials, round once
         acc = self._acc_dtype(W)
@@ -291,16 +304,17 @@ class EllAOp:
             part = self._product(cb_b, inv_b, tab, out_dtype=acc)
             out = part if out is None else out + part
             b0 = b1
-        return out.astype(self._out_dtype).T
+        return out.astype(res).T
 
     def mm_nt(self, H):
         """A H^T -> (m, k): per row i, sum of vals * H[:, col]."""
+        res = self._res_dtype(H)
         if self.row_blocks is None:
             table = jnp.concatenate(
                 [H.T, jnp.zeros((1, H.shape[0]), H.dtype)], axis=0
             )
             return self._product(self.row_buckets, self.row_inv, table,
-                                 out_dtype=self._out_dtype)
+                                 out_dtype=res)
         # doc-blocked: gather each block's nonzeros from only its slice
         # of the H-transpose table (static slice bounds — one compile),
         # then accumulate the (m, k) partials.  Partials stay in the
@@ -318,7 +332,7 @@ class EllAOp:
             part = self._product(rb_b, inv_b, tab, out_dtype=acc)
             out = part if out is None else out + part
             b0 = b1
-        return out.astype(self._out_dtype)
+        return out.astype(res)
 
     def col_sums(self):
         ones = jnp.ones((self._shape[0], 1), self.dtype)

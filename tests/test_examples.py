@@ -71,3 +71,14 @@ def test_community_graph_driver(tmp_path, capsys):
     assign = np.loadtxt(tmp_path / "communities_4.csv", delimiter=",",
                         dtype=np.int64)
     assert assign.shape == (3000,)
+
+
+def test_large_corpus_demo(capsys):
+    from examples.large_corpus_demo import main
+
+    W, H, total, success = main(m=400, n=500, k=8, nz_per_col=12,
+                                iters=12)
+    assert success and total == 12
+    assert (W > 0).any() and (H > 0).any()
+    out = capsys.readouterr().out
+    assert "resume: returns at iteration 12" in out

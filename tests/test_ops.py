@@ -237,3 +237,44 @@ def test_ell_doc_blocked_shards():
         np.asarray(sharded.mm_tn(Wd)), np.asarray(dense.mm_tn(Wd)),
         rtol=1e-10, atol=1e-12,
     )
+
+
+@pytest.mark.parametrize("storage", ["bfloat16", "float8_e4m3fn"])
+def test_ell_low_precision_storage_solver_parity(storage):
+    """Quantized A-storage must not round the product OUTPUTS below the
+    factor/compute dtype.  Regression: bf16-ELL products returned bf16
+    W'A / AH', which biased BPP's f32 gradient sign tests and collapsed
+    every pivot to the zero solution — factors zeroed out within an
+    iteration on the 1M-doc flagship config while dense-bf16 (whose
+    products follow the factor-dtype contract) was healthy."""
+    from smallk_tpu.common.options import NmfAlgorithm, NmfOptions
+    from smallk_tpu.common.rng import Random, random_matrix
+    from smallk_tpu.solvers.solve import nmf_solve
+
+    A, _, _ = _random_problem(300, 400, 8, 0.1, 11)
+    W0 = jnp.asarray(random_matrix(300, 8, Random(1)), jnp.float32)
+    H0 = jnp.asarray(random_matrix(8, 400, Random(2)), jnp.float32)
+    opts = NmfOptions(
+        tol=1e-9, algorithm=NmfAlgorithm.BPP, height=300, width=400,
+        k=8, min_iter=1, max_iter=10, verbose=False, dtype="float32",
+        a_dtype=storage,
+    )
+    dt = jnp.dtype(storage)
+    for blocks in (dict(), dict(doc_block=128, term_block=128)):
+        op = EllAOp.from_scipy(A, dt, **blocks)
+        # product outputs carry the factor dtype, not the storage dtype
+        assert op.mm_tn(W0).dtype == jnp.float32
+        assert op.mm_nt(H0).dtype == jnp.float32
+        out = nmf_solve(op, W0, H0, opts)
+        assert bool(out.success)
+        assert float(jnp.max(out.W)) > 0.0 and float(jnp.max(out.H)) > 0.0
+    # bf16 storage tracks the dense-bf16 run (identical quantization of
+    # A, same factor-dtype products) to f32 noise
+    if storage == "bfloat16":
+        dense = nmf_solve(
+            DenseAOp(jnp.asarray(A.toarray(), jnp.bfloat16)), W0, H0,
+            opts)
+        ell = nmf_solve(EllAOp.from_scipy(A, dt), W0, H0, opts)
+        np.testing.assert_allclose(np.asarray(ell.W),
+                                   np.asarray(dense.W), rtol=2e-2,
+                                   atol=1e-4)
