@@ -1,8 +1,11 @@
 """Large-corpus NMF demonstration: the flagship-scale flow, downscaled.
 
-Shows the pieces a production run at 50k terms x 1M docs uses (the
-reference cannot run that size at all — signed-int32 m*k / k*n checks,
-common/src/nmf.cpp:195-210):
+Shows the pieces a production run at 50k terms x 1M docs uses.  (The
+reference's signed-int32 m*k / k*n size checks, common/src/nmf.cpp:
+195-210, happen to pass at this shape with k=128 — n*k = 1.28e8 — but
+a single-node OpenMP CPU solve at 80M nonzeros is impractical in
+wall-clock terms; this scale is where the TPU product/solve tiers
+below earn their existence.)
 
   - bucketed-ELL operand with doc/term locality blocking
     (`EllAOp.from_scipy`; blocks force-enabled here so the demo

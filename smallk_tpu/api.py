@@ -60,14 +60,27 @@ class SmallkAPI:
         self._facade = _facade
         _facade.Initialize()
 
-    def parser(self):
-        p = argparse.ArgumentParser()
+    def parser(self, argv=None):
+        """Full reference flag surface (smallk_lib.pyx:647-688), plus
+        `--format` (default XML): the reference's own smallkapi.py driver
+        reads `args.format` on the --hiernmf2 path but its parser never
+        defines the flag (pysmallk/tests/smallkapi.py:32 vs pyx:647-688)
+        — defining it here makes the documented invocation actually run.
+        `argv` defaults to sys.argv (reference behavior); tests pass an
+        explicit list."""
+        p = argparse.ArgumentParser(
+            description="Run NMF via python binding")
         p.add_argument("--matrixfile", action="store", required=True)
         p.add_argument("--k", action="store", required=True, type=int)
+        p.add_argument("--dictfile", action="store", required=False,
+                       default="")
+        p.add_argument("--hiernmf2", action="store", required=False,
+                       type=int, default=0, choices=[0, 1])
         p.add_argument("--algorithm", action="store", required=False,
-                       default="BPP")
+                       default="BPP",
+                       choices=["MU", "HALS", "RANK2", "BPP"])
         p.add_argument("--stopping", action="store", required=False,
-                       default="PG_RATIO")
+                       default="PG_RATIO", choices=["PG_RATIO", "DELTA"])
         p.add_argument("--tol", action="store", required=False, type=float,
                        default=0.005)
         p.add_argument("--tolcount", action="store", required=False,
@@ -76,6 +89,10 @@ class SmallkAPI:
                        default="")
         p.add_argument("--infile_H", action="store", required=False,
                        default="")
+        p.add_argument("--outfile_W", action="store", required=False,
+                       default="w.csv")
+        p.add_argument("--outfile_H", action="store", required=False,
+                       default="h.csv")
         p.add_argument("--outprecision", action="store", required=False,
                        type=int, default=6)
         p.add_argument("--maxiter", action="store", required=False,
@@ -84,7 +101,15 @@ class SmallkAPI:
                        type=int, default=5)
         p.add_argument("--maxthreads", action="store", required=False,
                        type=int, default=8)
-        return p.parse_args()
+        p.add_argument("--maxterms", action="store", required=False,
+                       type=int, default=5)
+        p.add_argument("--normalize", action="store", required=False,
+                       type=int, default=1)
+        p.add_argument("--verbose", action="store", required=False,
+                       type=int, default=1)
+        p.add_argument("--format", action="store", required=False,
+                       default="XML")
+        return p.parse_args(argv)
 
     def get_major_version(self):
         return self._facade.GetMajorVersion()

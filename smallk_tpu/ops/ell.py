@@ -264,14 +264,6 @@ class EllAOp:
             return jnp.float64
         return jnp.float32
 
-    @property
-    def _out_dtype(self):
-        """Factor-free products' output dtype (col_sums): the storage
-        dtype, except 8-bit floats which emit bf16."""
-        if jnp.dtype(self.dtype).itemsize == 1:
-            return jnp.bfloat16
-        return jnp.dtype(self.dtype)
-
     @staticmethod
     def _res_dtype(factor):
         """Product result dtype: the FACTOR (compute) dtype — the

@@ -68,6 +68,11 @@ MASKED_SOLVER = "auto"
 # relative error to 5 decimals (tpu_batch55).
 _CG_MIN_WORK = 2.0e6
 
+# CG step cap: k + this.  Exact arithmetic needs <= |passive support|+1
+# steps; the slack absorbs f32 rounding.  Module-level so the cap-out
+# poison gate below is testable (see _cg_solve_block's exit check).
+_CG_EXTRA_STEPS = 16
+
 
 def set_masked_solver(name: str) -> None:
     global MASKED_SOLVER
@@ -161,7 +166,7 @@ def _cg_solve_block(LHS, RHS, passive, x0=None):
 
     bb = jnp.sum(b * b, axis=0)  # (n,)
     tol2 = (64.0 * eps) ** 2 * bb
-    max_steps = k + 16
+    max_steps = k + _CG_EXTRA_STEPS
 
     if x0 is None:
         x = jnp.zeros_like(b)
@@ -198,6 +203,22 @@ def _cg_solve_block(LHS, RHS, passive, x0=None):
     x, r, pd, rz, rr, it = jax.lax.while_loop(
         cond, body, (x, r, pd, rz, rr, jnp.zeros((), jnp.int32))
     )
+    # Cap-out surfacing: the direct paths' failure mode is NaN/Inf ->
+    # the caller's isfinite gate -> retry ladder; a step-capped CG would
+    # otherwise return a silently approximate x whose passive-row
+    # residual the BPP pivot tests never examine (they test X-signs on
+    # passive rows and Y-signs on non-passive rows only).  The 64*eps
+    # relative target can be legitimately unreachable in f32 for
+    # ill-conditioned Grams (rounding floor ~ eps*|LHS||x| per column),
+    # so the poison threshold is that backward-stable floor with a wide
+    # margin, not the CG target: columns capped out FAR above anything
+    # a direct solve could deliver are NaN'd and fail the attempt.
+    floor = eps * (
+        jnp.sqrt(jnp.sum(gemm(jnp.abs(LHS), jnp.abs(x)) ** 2, axis=0))
+        + jnp.sqrt(bb)
+    )
+    capped = (rr > tol2) & (jnp.sqrt(rr) > 256.0 * k * floor)
+    x = jnp.where(capped[None, :], jnp.nan, x)
     return jnp.where(pf, x, 0).astype(out_dtype)
 
 

@@ -219,18 +219,29 @@ def test_cli_result_exit_codes(tmp_path):
     assert hier_entry(["--help"]) == int(Result.OK)
 
 
-def test_compile_cache_flag(tmp_path):
+def test_compile_cache_flag(tmp_path, monkeypatch):
     """--compile-cache DIR persists compiled programs (all five tools
-    accept it; exercised through matrixgen, the cheapest)."""
+    accept it; exercised through matrixgen, the cheapest).  The env var
+    and the process-global jax cache config are restored afterwards so
+    later tests see no order-dependent side effects."""
+    import os
+
+    import jax
+
     from smallk_tpu.cli.matrixgen_cli import main as mg_main
 
+    monkeypatch.delenv("SMALLK_TPU_COMPILE_CACHE", raising=False)
+    prev_cache_dir = jax.config.jax_compilation_cache_dir
     cache = tmp_path / "cache"
     cache.mkdir()
     out = tmp_path / "m.csv"
-    rc = mg_main(["--height", "8", "--width", "6", "--filename", str(out),
-                  "--type", "UNIFORM", "--compile-cache", str(cache)])
-    assert rc in (0, None)
-    assert out.exists()
-    import os
-
-    assert os.environ.get("SMALLK_TPU_COMPILE_CACHE") == str(cache)
+    try:
+        rc = mg_main(["--height", "8", "--width", "6",
+                      "--filename", str(out),
+                      "--type", "UNIFORM", "--compile-cache", str(cache)])
+        assert rc in (0, None)
+        assert out.exists()
+        assert os.environ.get("SMALLK_TPU_COMPILE_CACHE") == str(cache)
+    finally:
+        os.environ.pop("SMALLK_TPU_COMPILE_CACHE", None)
+        jax.config.update("jax_compilation_cache_dir", prev_cache_dir)

@@ -669,6 +669,32 @@ def test_nonfinite_inputs_fail_not_succeed():
     assert not bool(ok)
 
 
+def test_cg_capout_surfaces_failure(monkeypatch):
+    """A step-capped CG whose residual stays far above the
+    backward-stable floor must poison its output (NaN) so the caller's
+    isfinite gate fails the attempt — the analogue of the direct paths'
+    non-SPD -> NaN -> retry-ladder failure mode, instead of silently
+    feeding an approximate solution to the pivot sign tests."""
+    import smallk_tpu.solvers.nnls as nn
+
+    k, n = 32, 64
+    rng = np.random.RandomState(1)
+    B = rng.rand(k, 2 * k).astype(np.float32)
+    LHS = jnp.asarray(B @ B.T + 0.1 * np.eye(k), jnp.float32)
+    RHS = jnp.asarray((B @ rng.rand(2 * k, n)).astype(np.float32))
+    passive = jnp.ones((k, n), dtype=bool)
+
+    # healthy cap: converges and stays finite
+    X = nn._cg_solve_block(LHS, RHS, passive)
+    assert np.isfinite(np.asarray(X)).all()
+
+    # strangle the cap to a single step: nowhere near converged, far
+    # above the floor -> the capped columns must come back poisoned
+    monkeypatch.setattr(nn, "_CG_EXTRA_STEPS", -(k - 1))
+    Xc = nn._cg_solve_block(LHS, RHS, passive)
+    assert np.isnan(np.asarray(Xc)).any()
+
+
 def test_hals_pallas_step_parity(monkeypatch):
     """The whole-step HALS Pallas kernel (solvers/hals_pallas.py) must
     reproduce the XLA step body: same sequential sweeps, same Grams,
