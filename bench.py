@@ -147,15 +147,16 @@ def bench_all():
     })
 
     # flagship scale: rank-128 on a 50k-term x 1M-doc corpus (80M nnz,
-    # doc-blocked bucketed ELL).  The reference cannot run this size at
-    # all (signed-int32 m*k / k*n checks, common/src/nmf.cpp:195-210);
-    # vs_baseline is the ratio to the 1 it/s round-3 target (VERDICT r2
-    # #4).  NOTE (round-4 correction): pre-fix rounds measured ~1.1-1.2
-    # here on a silently degenerate solve (bf16 product-output bug,
-    # ops/ell._res_dtype); the honest live-factor rate is ~0.69 it/s —
-    # see docs/benchmarks.md "Measurement correction".  Bulk sampler
-    # instead of matrixgen's exact rejection sampler (143 s at this
-    # size); duplicates summed, same corpus statistics.
+    # doc-blocked bucketed ELL).  A single-node CPU run at this size is
+    # impractical for the reference (and its published tooling never
+    # demonstrates it); vs_baseline is the ratio to the 1 it/s round-3
+    # target (VERDICT r2 #4).  Round-4 correction history and the
+    # round-5 width-ladder solve tier (0.69 -> 0.98 it/s, live
+    # factors; ~0.82 s/iter of the remaining 1.02 is the gather-product
+    # wall both MU and BPP pay) are documented in docs/benchmarks.md
+    # "Large-scale".  Bulk sampler instead of matrixgen's exact
+    # rejection sampler (143 s at this size); duplicates summed, same
+    # corpus statistics.
     import scipy.sparse as _sp
 
     from smallk_tpu.ops.ell import EllAOp

@@ -94,7 +94,7 @@ def main():
     jax.block_until_ready((WtW, WtA, HHt, HAt))
 
     def solve_h(acc, lhs, rhs, x):
-        X, Y, ok = nnls_blockpivot(
+        X, Y, ok, _ = nnls_blockpivot(
             lhs, rhs + jnp.asarray(acc * 0.0, rhs.dtype), x)
         return jnp.sum(X).astype(jnp.float32) * 1e-20
 

@@ -236,6 +236,11 @@ class NmfStats:
 
     elapsed_us: int = 0
     iteration_count: int = 0
+    # beyond the reference: cumulative NNLS pivot rounds across the solve
+    # (BPP only; 0 for MU/HALS/RANK2).  pivot_rounds / iteration_count is
+    # the wide-matrix solve-tier telemetry: each round is one masked
+    # solve + sign-test pass over the active slab.
+    pivot_rounds: int = 0
 
 
 @dataclasses.dataclass

@@ -50,6 +50,7 @@ preemption-safe at full chain speed.
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 
@@ -73,6 +74,17 @@ _MIN_BUCKET = 512     # keep in sync with hierclust._MIN_BUCKET
 LAST_STATS = {"segments": 0, "committed": 0, "bails": 0, "resyncs": 0}
 
 
+def _dbg(msg: str) -> None:
+    """SMALLK_TPU_DEBUG_DISPATCH=1: per-dispatch timing lines on stderr
+    (for isolating environment watchdog kills — each line flushes
+    BEFORE the dispatch blocks, so a crash log shows the killer)."""
+    import os
+    import sys
+
+    if os.environ.get("SMALLK_TPU_DEBUG_DISPATCH"):
+        print(msg, file=sys.stderr, flush=True)
+
+
 # Bucket sizes (m x width ELEMENTS) at/above this solve the two
 # children SEQUENTIALLY inside the branch instead of vmapped.  Once a
 # single solve is stream-bound, per-solve cost is batch-invariant
@@ -93,6 +105,47 @@ def _widths(n: int):
     from .hierclust import _bucket_widths
 
     return _bucket_widths(n, cap=CHAIN_MAX_WIDTH)
+
+
+def _chain_widths(runner):
+    """Compiled bucket ladder for this operand: doc widths for the
+    dense gather path, CHUNK-count widths for the sparse chunk path
+    (one width covers chunks and docs — chunks >= nonempty docs).  The
+    sparse ladder stops at HALF the corpus's chunks: wider subsets are
+    cheaper as masked full-width solves (the chain's extra masked
+    branch) than as chunk gathers, whose per-entry constants are ~2x
+    the tuned full-width buckets' (measured, scripts/tpu_batch64).
+
+    Under a dispatch budget, widths whose WORST-CASE single step
+    (2 children x ~150 iterations) would outrun the environment
+    watchdog are dropped — those splits bail to the host's segmented
+    masked path instead of dying mid-dispatch."""
+    if runner._A_ext is not None:
+        ws = _widths(runner.n)
+        if runner._budget is not None:
+            item = jnp.dtype(runner._A_ext.dtype).itemsize
+            iters = min(runner.opts.nmf_opts.max_iter, 150)
+            ws = tuple(
+                w for w in ws
+                if 2 * iters * (float(runner.m) * w * item / 2e11)
+                <= 0.5 * runner._budget
+            )
+        return ws
+    if getattr(runner, "_A_chunks", None) is not None:
+        ch = runner._A_chunks
+        ws = _widths(max(2, ch.C // 2))
+        if runner._budget is not None:
+            iters = min(runner.opts.nmf_opts.max_iter, 150)
+            # chunk-product rate: measured ~163 ms/iteration at ~8.4M
+            # padded entries (tpu_batch64) ~= 5e7 entries/s per product
+            # pair; budgeted at 4e7 for safety margin — watchdog kills
+            # are fatal, so the model must err narrow
+            ws = tuple(
+                w for w in ws
+                if 2 * iters * (w * ch.L0 / 4e7) <= 0.5 * runner._budget
+            )
+        return ws
+    return ()
 
 
 def _pack_bits_dev(left_full):
@@ -159,19 +212,94 @@ def _child_solve(A_ext, idx, seed, wp, n_full, opts, fdtype,
             pr.astype(jnp.float32), left_full, nl, nr)
 
 
-def _root_solve(A_ext, seed, opts, fdtype, restarts, init="random"):
+def _child_solve_sparse(chunks, mask, seed, wp, opts, fdtype, w,
+                        restarts=1, init="random"):
+    """One child factorization on a chunk-gathered sparse subset
+    (ops/ell_cols.CscChunks) at bucket width w — w covers both the
+    subset's chunk count and its doc count (chunks >= nonempty docs).
+    Traces the SAME hierclust._solve_from_draw body as the dense
+    branch; per-iteration product cost is O(w * L0) ~ O(nnz_subset),
+    the reference's compact-submatrix scaling
+    (clust_hier_generic.hpp:424 / sparse_matrix_impl.hpp:479)."""
+    from .hierclust import _solve_from_draw
+
+    m, n_full = chunks.shape
+    idx_docs, idx_chunks, slot = chunks.gather_device(mask, w)
+    op = chunks.gathered(idx_chunks, slot, w)
+    valid = idx_docs < n_full
+
+    def draw(key):
+        kW, kH = jax.random.split(key)
+        W0 = jax.random.uniform(kW, (m, 2), fdtype)
+        Hf = jax.random.uniform(kH, (2, n_full), fdtype)
+        H0 = jnp.take(Hf, idx_docs, axis=1, mode="fill", fill_value=0)
+        return W0, H0
+
+    Wb, _Hb, succ, iters, pr, left = _solve_from_draw(
+        op, valid, draw, jax.random.PRNGKey(seed), wp, opts, init,
+        restarts,
+    )
+    left_full = jnp.zeros((n_full,), jnp.bool_).at[idx_docs].set(
+        jnp.where(valid, left, False), mode="drop"
+    )
+    nl = jnp.sum(left & valid).astype(jnp.int32)
+    nr = jnp.sum((~left) & valid).astype(jnp.int32)
+    return (Wb, succ, iters.astype(jnp.int32),
+            pr.astype(jnp.float32), left_full, nl, nr)
+
+
+def _child_solve_masked(full_op, mask, seed, wp, opts, fdtype,
+                        restarts=1, init="random"):
+    """One child factorization as a MASKED full-width solve inside the
+    chain (sparse mode, wide subsets): above roughly half the corpus the
+    bucketed-ELL full products beat chunk-gathered subset products on
+    constants (measured at 250k docs — the gathered formulation runs
+    ~2x slower per entry than the tuned full-width buckets), so wide
+    nodes ride the fast full products and narrow nodes the
+    subset-proportional gathers.  Traces the same _solve_from_draw body
+    as the sequential _fused_masked_solve."""
+    from ..ops.aop import MaskedAOp
+    from .hierclust import _solve_from_draw
+
+    m, n_full = full_op.shape
+    op = MaskedAOp(full_op, mask.astype(full_op.dtype))
+
+    def draw(key):
+        kW, kH = jax.random.split(key)
+        return (jax.random.uniform(kW, (m, 2), fdtype),
+                jax.random.uniform(kH, (2, n_full), fdtype))
+
+    Wb, _Hb, succ, iters, pr, left = _solve_from_draw(
+        op, mask, draw, jax.random.PRNGKey(seed), wp, opts, init,
+        restarts,
+    )
+    left_full = left & mask
+    nl = jnp.sum(left_full).astype(jnp.int32)
+    nr = jnp.sum((~left) & mask).astype(jnp.int32)
+    return (Wb, succ, iters.astype(jnp.int32),
+            pr.astype(jnp.float32), left_full, nl, nr)
+
+
+def _root_solve(operand, seed, opts, fdtype, restarts, init="random"):
     """Root factorization at FULL width inside the chain program.
 
     Replicates the serial path (hierclust._Rank2Runner.solve(None) ->
     _fused_masked_solve idx=None) exactly by tracing the same
     hierclust._solve_from_draw body: one host seed, W0 (m, 2) and
-    H0 (2, n) drawn directly (no gather).
+    H0 (2, n) drawn directly (no gather).  `operand` is the dense
+    A_ext array or, in sparse mode, the (full_op, chunks) pair — the
+    root then runs on the full-width sparse operand's bucketed
+    products, not a gather.
     Returns (W, success, iters, left_full)."""
     from .hierclust import _solve_from_draw
 
-    m = A_ext.shape[0]
-    n = A_ext.shape[1] - 1
-    op = DenseAOp(A_ext[:, :n])
+    if isinstance(operand, tuple):
+        op, chunks = operand
+        m, n = chunks.shape
+    else:
+        m = operand.shape[0]
+        n = operand.shape[1] - 1
+        op = DenseAOp(operand[:, :n])
     valid = jnp.ones((n,), jnp.bool_)
 
     def draw(key):
@@ -190,13 +318,13 @@ def _root_solve(A_ext, seed, opts, fdtype, restarts, init="random"):
     jax.jit,
     static_argnames=("opts", "fdtype", "unbalanced", "widths", "seg",
                      "restarts", "size_pop", "do_root", "max_terms",
-                     "init"),
+                     "init", "masked_ok"),
 )
 def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
                    assign, labels_w, W_slab, pri, pop, leaf,
                    opts, fdtype, unbalanced, widths, seg,
                    restarts=1, size_pop=False, do_root=False,
-                   max_terms=0, init="random"):
+                   max_terms=0, init="random", masked_ok=True):
     """Run up to `n_steps` (<= seg) splits on device.
 
     Step s handles split i = i0 + s: pop the max-pop-priority leaf
@@ -205,14 +333,25 @@ def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
     labels + priorities + W into the carry — or set the bail flag and
     freeze (the host redoes that split sequentially).
 
+    `A_ext` is the dense A-with-zero-column array, or — sparse mode —
+    the (full_op, chunks) pair: the root solves on the full-width
+    bucketed-ELL operand and every step's children on chunk-gathered
+    subsets, with `widths` read as CHUNK-count buckets (chunk count
+    >= nonempty doc count, so one width covers both).
+
     Returns (carry', ys) where ys stacks one packed f32 row per step:
     [stat, popped, succ0, succ1, iters0, iters1, pr0, pr1,
      bitcast(left bits c0), bitcast(left bits c1)]
     with stat 0=inactive, 1=committed, 2=bailed, 3=done(no positive
     leaf priority).
     """
-    m = A_ext.shape[0]
-    n = A_ext.shape[1] - 1
+    sparse_mode = isinstance(A_ext, tuple)
+    if sparse_mode:
+        _full_op, _chunks = A_ext
+        m, n = _chunks.shape
+    else:
+        m = A_ext.shape[0]
+        n = A_ext.shape[1] - 1
     nw = (n + 31) // 32
     nbr = len(widths)
     d = jnp.arange(n, dtype=jnp.int32)
@@ -258,16 +397,49 @@ def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
         s0 = jnp.sum(mask0).astype(jnp.int32)
         s1 = jnp.sum(mask1).astype(jnp.int32)
         mx = jnp.maximum(s0, s1)
+        if sparse_mode:
+            # sparse buckets are sized by CHUNK count (>= nonempty doc
+            # count); the widest child picks the compiled branch
+            cdoc = _chunks.chunk_doc
+            m0x = jnp.concatenate(
+                [mask0, jnp.zeros((1,), jnp.bool_)])[cdoc]
+            m1x = jnp.concatenate(
+                [mask1, jnp.zeros((1,), jnp.bool_)])[cdoc]
+            s0c = jnp.sum(m0x).astype(jnp.int32)
+            s1c = jnp.sum(m1x).astype(jnp.int32)
+            mx = jnp.maximum(mx, jnp.maximum(s0c, s1c))
 
-        # --- bucket eligibility (hierclust._pair_eligible semantics)
+        # --- bucket eligibility (hierclust._pair_eligible semantics).
+        # Sparse mode carries one extra branch: subsets too wide for
+        # the chunk ladder run as MASKED full-width solves in-chain
+        # (see _child_solve_masked) instead of bailing — except under a
+        # dispatch budget (masked_ok=False), where a single in-chain
+        # full-width solve could outrun the environment watchdog: wide
+        # steps then bail to the host's segmented masked path.
         widx = jnp.searchsorted(widths_arr, mx).astype(jnp.int32)
-        eligible = (s0 > 3) & (s1 > 3) & (widx < nbr)
+        big_enough = (s0 > 3) & (s1 > 3)
+        use_masked = bool(sparse_mode) and masked_ok
+        eligible = big_enough & ((widx < nbr) | use_masked)
         run = act & eligible
 
         wp = W_slab[p]  # (m, 2): column slot = that child's parent vec
 
         def make_branch(w):
             def br(_):
+                if sparse_mode:
+                    solve = lambda mk, sd, wpc: _child_solve_sparse(  # noqa: E731,E501
+                        _chunks, mk, sd, wpc, opts, fdtype, w,
+                        restarts, init,
+                    )
+                    if w * _chunks.L0 >= SEQ_PAIR_MIN_ELEMS:
+                        outs = [solve(mk, seed2[i], wp.T[i])
+                                for i, mk in enumerate((mask0, mask1))]
+                        return jax.tree.map(
+                            lambda *xs: jnp.stack(xs), *outs
+                        )
+                    return jax.vmap(solve)(
+                        jnp.stack([mask0, mask1]), seed2, wp.T
+                    )
                 idx2 = jnp.stack([
                     jnp.nonzero(mask0, size=w, fill_value=n)[0]
                     .astype(jnp.int32),
@@ -290,10 +462,30 @@ def _chain_program(A_ext, seeds, root_seed, i0, n_steps, last_split,
                 return jax.vmap(solve)(idx2, seed2, wp.T)
             return br
 
-        branch = jnp.where(run, jnp.minimum(widx, nbr - 1), nbr)
-        Wc, succ, iters, prc, left_full, nl, nr = jax.lax.switch(
-            branch, [make_branch(w) for w in widths] + [noop], None
-        )
+        if use_masked:
+            def masked_branch(_):
+                solve = lambda mk, sd, wpc: _child_solve_masked(  # noqa: E731,E501
+                    _full_op, mk, sd, wpc, opts, fdtype, restarts, init,
+                )
+                # full-width products are stream-bound: sequential
+                # siblings (i0 + i1 iterations, not 2 x max)
+                outs = [solve(mk, seed2[i], wp.T[i])
+                        for i, mk in enumerate((mask0, mask1))]
+                return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+            branch = jnp.where(
+                run, jnp.minimum(widx, nbr), nbr + 1
+            )
+            Wc, succ, iters, prc, left_full, nl, nr = jax.lax.switch(
+                branch,
+                [make_branch(w) for w in widths] + [masked_branch, noop],
+                None,
+            )
+        else:
+            branch = jnp.where(run, jnp.minimum(widx, nbr - 1), nbr)
+            Wc, succ, iters, prc, left_full, nl, nr = jax.lax.switch(
+                branch, [make_branch(w) for w in widths] + [noop], None
+            )
 
         # --- gates: solver failure or the (conservative, f32) unbalanced
         # outlier check -> bail; the host's f64 TrialSplit decides.
@@ -412,13 +604,26 @@ class ChainDriver:
     resynchronizes device state after sequential (bail) splits."""
 
     def __init__(self, runner, node_count: int):
+        from .nmf import _dispatch_budget
+
         self.runner = runner
         self.nc = node_count
         self.n = runner.n
         self.m = runner.m
         self.nw = (self.n + 31) // 32
         self.fdtype = runner.dtype
-        self.widths = _widths(self.n)
+        self.widths = _chain_widths(runner)
+        # Dispatch-time budget (engines/nmf._dispatch_budget): in
+        # watchdog-limited environments (the axon relay kills single
+        # executions past ~30-60 s) a 32-split segment on a big operand
+        # is one dispatch and CAN be killed mid-flight.  When a budget
+        # is configured, segments start short, the per-split wall is
+        # measured (compile inflation only makes the next segment
+        # conservatively shorter), and the segment length adapts to
+        # ~half the budget.  No budget (real deployments) = full
+        # CHAIN_SEG segments.
+        self._budget = _dispatch_budget()
+        self._split_cost = None
         self.holder = SlabHolder()
         self._state = None       # (assign, labels_w, pri, pop, leaf) dev
         self._dirty = True       # host tree changed since last sync
@@ -438,15 +643,28 @@ class ChainDriver:
 
     @staticmethod
     def available(runner, opts, mesh, checkpoint_path, interrupt_after):
+        # sparse mode works even with an empty chunk ladder (its masked
+        # full-width branch covers every subset) — unless a dispatch
+        # budget disables in-chain masked solves AND there are no chunk
+        # widths; the dense gather path needs at least one width
+        sparse_ok = (
+            getattr(runner, "_A_chunks", None) is not None
+            and (len(_chain_widths(runner)) > 0
+                 or not runner.should_segment_full())
+        )
+        ok_operand = (
+            (runner._A_ext is not None
+             and len(_chain_widths(runner)) > 0)
+            or sparse_ok
+        )
         return (
             CHAIN
-            and runner._A_ext is not None
+            and ok_operand
             and runner.inits.initdir is None
             and opts.init_method in ("random", "spectral")
             and opts.priority_method in ("ndcg", "size_ndcg")
             and mesh is None
             and interrupt_after is None
-            and len(_widths(runner.n)) > 0
         )
 
     # --- device-state (re)construction -----------------------------------
@@ -552,8 +770,39 @@ class ChainDriver:
         # the root factorization runs INSIDE the first segment program
         # unless a bail already forced it onto the host
         do_root = i == 0 and self._root_W is None
+        if do_root and runner.should_segment_full():
+            # the one-shot in-program root would risk the environment's
+            # dispatch watchdog: bail split 0 to the host, whose solve()
+            # runs the root in budget-sized segments, then resume the
+            # chain with the host-provided root
+            self._dirty = True
+            LAST_STATS["bails"] += 1
+            return i, "bail"
 
-        n_steps = min(CHAIN_SEG, (num_clusters - 1) - i)
+        seg_cap = CHAIN_SEG
+        if self._budget is not None:
+            if self._split_cost is None:
+                # probe segment sized from the operand model: sparse
+                # wide splits run MASKED full-width solves (full
+                # products per iteration), dense splits gather at most
+                # ~n/2-wide buckets (~200 GB/s, tpu_batch18) — so a
+                # huge sparse operand probes 1 step while the measured
+                # dense 12c/20news paths keep full segments
+                if runner._A_ext is not None:
+                    item = jnp.dtype(runner._A_ext.dtype).itemsize
+                    est_iter = (float(runner.m) * float(runner.n) / 2
+                                * item / 2e11)
+                else:
+                    est_iter = runner.est_full_iter_seconds()
+                est_step = max(1e-6, 2 * 60 * est_iter)
+                seg_cap = max(1, min(
+                    CHAIN_SEG, int(0.5 * self._budget / est_step)))
+            else:
+                seg_cap = max(1, min(
+                    CHAIN_SEG,
+                    int(0.5 * self._budget / self._split_cost),
+                ))
+        n_steps = min(seg_cap, (num_clusters - 1) - i)
         # pad the compiled scan length to the next power of 2 (not always
         # CHAIN_SEG): inactive steps still pay the partition/commit
         # arithmetic, which is pure waste on short tails (a 12-cluster
@@ -571,8 +820,13 @@ class ChainDriver:
 
         assign, labels_w, pri, pop, leaf = self._state
         mt = int(opts.maxterms)
+        operand = (runner._A_ext if runner._A_ext is not None
+                   else (runner.a_op, runner._A_chunks))
+        _dbg(f"[chain] dispatch seg i={i} n_steps={n_steps} seg={seg} "
+             f"do_root={do_root} split_cost={self._split_cost}")
+        t_seg = time.perf_counter()
         carry, ys = _chain_program(
-            runner._A_ext, jnp.asarray(seeds), root_seed,
+            operand, jnp.asarray(seeds), root_seed,
             jnp.asarray(i, jnp.int32), jnp.asarray(n_steps, jnp.int32),
             jnp.asarray(num_clusters - 2, jnp.int32),
             assign, labels_w, self.holder.current, pri, pop, leaf,
@@ -581,8 +835,11 @@ class ChainDriver:
             seg=seg, restarts=runner.restarts,
             size_pop=(opts.priority_method == "size_ndcg"),
             do_root=do_root, max_terms=mt, init=runner.init,
+            masked_ok=not runner.should_segment_full(),
         )
         flat = np.asarray(ys)  # ONE fetch: root row + step rows + terms
+        seg_wall = time.perf_counter() - t_seg
+        _dbg(f"[chain] seg done in {seg_wall:.2f}s")
         (assign, labels_w, W_slab, pri, pop, leaf, _, _, _) = carry
         self.holder.current = W_slab
         self._state = (assign, labels_w, pri, pop, leaf)
@@ -690,4 +947,9 @@ class ChainDriver:
             self._dirty = True
             LAST_STATS["bails"] += 1
         LAST_STATS["committed"] += replayed
+        if self._budget is not None:
+            # adapt the next segment to the measured per-split wall
+            # (compile time inflates the first measurement, which only
+            # shortens the next probe — the warm measurement corrects)
+            self._split_cost = seg_wall / max(1, replayed + root_consumed)
         return i + replayed, outcome

@@ -110,25 +110,38 @@ _MIN_BUCKET = 512
 _BUCKET_STEP = 2048
 
 
+def _ladder_iter():
+    """The shared bucket ladder: pow2 to 4096, then 2048 steps, then —
+    above 16384 — geometric ~12.5% steps rounded to 2048.  Identical to
+    the round-4 ladder below 16384 (the measured 12c/20news regime,
+    tpu_batch53); the relative steps above it bound zero-pad waste at
+    12.5% while cutting the number of DISTINCT compiled widths a
+    100k+-doc run touches (each unique width compiles one fused solve
+    program — at 2048 steps a 250k-doc tree paid ~60 compiles)."""
+    w = _MIN_BUCKET
+    while w < 4096:
+        yield w
+        w <<= 1
+    while True:
+        yield w
+        w += _BUCKET_STEP * max(1, w // (8 * _BUCKET_STEP))
+
+
 def _bucket_widths(n: int, cap: int = 1 << 30):
     """All compiled bucket widths strictly below n (ascending)."""
     out = []
-    w = _MIN_BUCKET
-    while w < min(n, 4096) and w <= cap:
+    for w in _ladder_iter():
+        if w >= n or w > cap:
+            break
         out.append(w)
-        w <<= 1
-    w = 4096
-    while w < n and w <= cap:
-        out.append(w)
-        w += _BUCKET_STEP
     return tuple(out)
 
 
 def _bucket_for(size: int) -> int:
     """Smallest ladder width >= size."""
-    if size <= 4096:
-        return max(_MIN_BUCKET, _next_pow2(size))
-    return -(-size // _BUCKET_STEP) * _BUCKET_STEP
+    for w in _ladder_iter():
+        if w >= size:
+            return w
 
 # Sibling-pair batched solves: a win where the solve is latency-bound
 # (thin widths underutilize the chip) — the vmapped pair runs
@@ -345,6 +358,62 @@ def _fused_gather_pair(A_ext, idx2, seeds2, W_parent, n_full, opts,
     return jax.vmap(solve)(idx2, seeds2, W_parent.T)
 
 
+def _chunk_body(chunks, idx_docs, idx_chunks, slot, seed, w_parent, wc,
+                opts, init, fdtype, restarts=1):
+    """Node solve on a chunk-gathered sparse column subset
+    (ops/ell_cols.CscChunks — the TPU SubMatrixColsCompact).  Same
+    structure as _gather_body: the initializer H is drawn at FULL width
+    then gathered at idx_docs, so chunk, dense-gather, and mask paths
+    see identical initializer values on the subset columns."""
+    m, n_full = chunks.shape
+    op = chunks.gathered(idx_chunks, slot, wc)
+    valid = idx_docs < n_full
+
+    def draw(key):
+        kW, kH = jax.random.split(key)
+        W0 = jax.random.uniform(kW, (m, 2), fdtype)
+        Hf = jax.random.uniform(kH, (2, n_full), fdtype)
+        H0 = jnp.take(Hf, idx_docs, axis=1, mode="fill", fill_value=0)
+        return W0, H0
+
+    out = _solve_from_draw(op, valid, draw, jax.random.PRNGKey(seed),
+                           w_parent, opts, init, restarts)
+    return _pack_node_result(*out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wc", "opts", "init", "fdtype", "restarts")
+)
+def _fused_chunk_solve(chunks, idx_docs, idx_chunks, slot, seed,
+                       w_parent, wc, opts, init, fdtype, restarts=1):
+    return _chunk_body(chunks, idx_docs, idx_chunks, slot, seed,
+                       w_parent, wc, opts, init, fdtype, restarts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wc", "opts", "init", "fdtype", "restarts")
+)
+def _fused_chunk_pair(chunks, idx_docs2, idx_chunks2, slot2, seeds2,
+                      W_parent, wc, opts, init, fdtype, restarts=1):
+    """Batched sibling solve on chunk-gathered subsets (sparse analogue
+    of _fused_gather_pair).  The stream-bound threshold counts gathered
+    table entries (wc * L0) — the per-iteration bytes the products
+    stream — against the same SEQ_PAIR_MIN_ELEMS boundary the dense
+    path uses for m * width."""
+    from .hier_chain import SEQ_PAIR_MIN_ELEMS
+
+    solve = lambda idxd, idxc, sl, seed, wp: _chunk_body(  # noqa: E731
+        chunks, idxd, idxc, sl, seed, wp, wc, opts, init, fdtype,
+        restarts
+    )
+    if wc * chunks.L0 >= SEQ_PAIR_MIN_ELEMS:
+        outs = [solve(idx_docs2[i], idx_chunks2[i], slot2[i], seeds2[i],
+                      W_parent.T[i]) for i in range(2)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    return jax.vmap(solve)(idx_docs2, idx_chunks2, slot2, seeds2,
+                           W_parent.T)
+
+
 @functools.partial(jax.jit, static_argnames=("opts", "init", "fdtype",
                                              "restarts"))
 def _fused_masked_solve(a_op, idx, seed, w_parent, opts, init, fdtype,
@@ -369,6 +438,28 @@ def _fused_masked_solve(a_op, idx, seed, w_parent, opts, init, fdtype,
     out = _solve_from_draw(op, valid, draw, jax.random.PRNGKey(seed),
                            w_parent, opts, init, restarts)
     return _pack_node_result(*out)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "fdtype"))
+def _masked_draw(seed, m, n, fdtype):
+    """EXACTLY the fused masked program's initializer draw (above) as a
+    standalone dispatch — the segmented watchdog-safe path consumes it
+    so its trajectory is bit-comparable to the one-shot program's."""
+    kW, kH = jax.random.split(jax.random.PRNGKey(seed))
+    return (jax.random.uniform(kW, (m, 2), fdtype),
+            jax.random.uniform(kH, (2, n), fdtype))
+
+
+@jax.jit
+def _pack_masked_result(W, H, valid, w_parent, success, iterations):
+    """_solve_from_draw's label/priority tail for an externally-run
+    solve (the segmented path), packed like _pack_node_result."""
+    left = H[0, :] > H[1, :]
+    has0 = jnp.any(left & valid)
+    has1 = jnp.any((~left) & valid)
+    pr = compute_priority_device(w_parent, W)
+    pr = jnp.where(has0 & has1, pr, jnp.asarray(-1.0, pr.dtype))
+    return _pack_node_result(W, H, success, iterations, pr, left)
 
 
 class _PrefetchPool:
@@ -495,7 +586,14 @@ class _Rank2Runner:
         self.spec_depth = SPEC_DEPTH
         if SPEC_ADAPTIVE and m * n >= SPEC_DEVICE_BOUND:
             self.spec_depth = min(SPEC_DEPTH, 1)
+        from .nmf import _dispatch_budget
+
+        # watchdog-limited environments (see engines/nmf._dispatch_budget):
+        # node solves whose one-shot fused program would run past the
+        # budget are run in segments instead (_budget_segmented_masked)
+        self._budget = _dispatch_budget()
         self._A_ext = None  # dense A with one trailing zero column
+        self._A_chunks = None  # sparse chunk table (ops/ell_cols)
         if isinstance(a_op, DenseAOp) and mesh is None:
             # single-device fast path: per-node bucketed column gathers.
             # Under a mesh, nodes run as sharded column MASKS on the
@@ -504,6 +602,19 @@ class _Rank2Runner:
             self._A_ext = jnp.concatenate(
                 [a_op.A, jnp.zeros((m, 1), a_op.A.dtype)], axis=1
             )
+        elif mesh is None and host_A is not None and not inits.initdir:
+            import scipy.sparse as sp
+
+            if sp.issparse(host_A):
+                # sparse single-device fast path: chunk-expanded column
+                # table -> per-node gathers scale with the subset's
+                # NONZEROS (the reference's SubMatrixColsCompact
+                # scaling, sparse_matrix_impl.hpp:479) instead of the
+                # full-width masked products the mask path pays
+                from ..ops.ell_cols import CscChunks
+
+                self._A_chunks = CscChunks.from_scipy(
+                    host_A, dtype=a_op.dtype)
 
     def _wp(self, w_parent):
         if w_parent is None:
@@ -525,18 +636,107 @@ class _Rank2Runner:
                 self.stats.max_count += 1
         return success
 
+    def should_segment_full(self) -> bool:
+        """Would a one-shot full-width node solve risk the environment's
+        dispatch watchdog?  True only with a configured budget, on the
+        simple path (one random start — the segmented driver carries no
+        restart batching or spectral start), when ~150 iterations of
+        full-operand products already exceed half the budget.  150 is a
+        typical-convergence scale, not max_iter: gating on the 5000-iter
+        worst case would segment every big-but-fast solve (the measured
+        12c/20news fused paths) for no benefit, while a genuinely huge
+        operand blows the budget well before 150 iterations."""
+        if (self._budget is None or self.restarts != 1
+                or self.init != "random" or self.inits.initdir):
+            return False
+        est = (self.est_full_iter_seconds()
+               * min(self.opts.nmf_opts.max_iter, 150))
+        return est > 0.5 * self._budget
+
+    def est_full_iter_seconds(self) -> float:
+        """Modeled per-iteration device time of a FULL-width rank-2
+        solve on this operand (the measured product-rate anchors of
+        engines/nmf._est_iter_seconds, k=2 solve tier ~free)."""
+        nnz = (getattr(self.a_op, "padded_nnz", None)
+               or getattr(self.a_op, "nnz", None))
+        if nnz is not None:
+            return 2.0 * float(nnz) / 0.4e9
+        return (2.0 * float(self.m) * float(self.n)
+                * jnp.dtype(self.a_op.dtype).itemsize / 1e11)
+
+    def _budget_segmented_masked(self, subset, seed, wp):
+        """One node-solve attempt on the masked full-shape operand, run
+        in dispatch-budget-sized segments (engines/nmf._run_segmented —
+        exact stopping-criterion parity via the pg0 carry) instead of
+        one long fused dispatch the environment watchdog could kill.
+        Same initializer draw as the fused program (_masked_draw)."""
+        from .nmf import _run_segmented
+
+        n = self.n
+        if subset is None:
+            op = self.a_op
+            valid = jnp.ones((n,), jnp.bool_)
+        else:
+            n_b = _bucket_for(len(subset))
+            idx = self._padded_idx(subset, n_b)
+            mask = jnp.zeros((n,), self.a_op.dtype).at[idx].set(
+                1, mode="drop")
+            valid = jnp.zeros((n,), jnp.bool_).at[idx].set(
+                True, mode="drop")
+            op = MaskedAOp(self.a_op, mask)
+        from .hier_chain import _dbg
+
+        _dbg(f"[seq] segmented masked solve subset="
+             f"{'full' if subset is None else len(subset)}")
+        W0, H0 = _masked_draw(int(seed), self.m, n, self.dtype)
+        res = _run_segmented(op, W0, H0, self.opts.nmf_opts,
+                             self._budget)
+        return _pack_masked_result(res.W, res.H, valid, wp,
+                                   res.success, res.iterations)
+
+    def _chunk_bucket(self, subset):
+        """Ladder width for a chunk-gathered subset solve, or None when
+        the subset must use the full-width mask path.  The width covers
+        BOTH the subset's chunk count and its doc count (empty columns
+        occupy a doc slot but no chunk)."""
+        if self._A_chunks is None:
+            return None
+        need = max(self._A_chunks.subset_chunk_count(subset),
+                   len(subset))
+        wc = _bucket_for(need)
+        # wider than ~half the corpus's chunks: the masked full-width
+        # products win on constants (see hier_chain._chain_widths)
+        if 2 * wc >= self._A_chunks.C + 1:
+            return None
+        # under a dispatch budget, a one-shot fused chunk solve whose
+        # worst case outruns the watchdog routes to the segmented
+        # masked path instead (same rate model as _chain_widths)
+        if self._budget is not None:
+            iters = min(self.opts.nmf_opts.max_iter, 150)
+            if iters * (wc * self._A_chunks.L0 / 4e7) > 0.5 * self._budget:
+                return None
+        return wc
+
     def _pair_eligible(self, subset_l, subset_r):
         """Bucket width for a batched sibling solve, or None when the
         pair must run serially (tiny subsets, initdir mode — its
         file-consumption order is defined by the sequential reference
-        flow — or non-dense A)."""
-        if (not PAIR_BATCHING or self._A_ext is None or self.inits.initdir
+        flow — or an operand with no gather fast path)."""
+        if (not PAIR_BATCHING or self.inits.initdir
                 or len(subset_l) <= 3 or len(subset_r) <= 3):
             return None
-        n_b = _bucket_for(max(len(subset_l), len(subset_r)))
-        if n_b >= self.n:
-            return None
-        return n_b
+        if self._A_ext is not None:
+            n_b = _bucket_for(max(len(subset_l), len(subset_r)))
+            if n_b >= self.n:
+                return None
+            return n_b
+        if self._A_chunks is not None:
+            wl = self._chunk_bucket(subset_l)
+            wr = self._chunk_bucket(subset_r)
+            if wl is None or wr is None:
+                return None
+            return max(wl, wr)
+        return None
 
     def _start_pair(self, subsets, n_b, W_parent):
         """Draw two initializer seeds and dispatch the fused pair program
@@ -544,17 +744,30 @@ class _Rank2Runner:
         `_finish_pair` consumes."""
         if isinstance(W_parent, SlabPair):
             W_parent = W_parent.materialize()
-        idx = np.full((2, n_b), self.n, dtype=np.int32)
-        for i, s in enumerate(subsets):
-            idx[i, : len(s)] = s
         seeds = np.array(
             [self.inits.next_seed(), self.inits.next_seed()], np.int32
         )
-        W_, H_, packed = _fused_gather_pair(
-            self._A_ext, idx, seeds, jnp.asarray(W_parent, self.dtype),
-            n_full=self.n, opts=self.opts.nmf_opts, init=self.init,
-            fdtype=self.dtype, restarts=self.restarts,
-        )
+        if self._A_ext is not None:
+            idx = np.full((2, n_b), self.n, dtype=np.int32)
+            for i, s in enumerate(subsets):
+                idx[i, : len(s)] = s
+            W_, H_, packed = _fused_gather_pair(
+                self._A_ext, idx, seeds,
+                jnp.asarray(W_parent, self.dtype),
+                n_full=self.n, opts=self.opts.nmf_opts, init=self.init,
+                fdtype=self.dtype, restarts=self.restarts,
+            )
+        else:
+            plans = [self._A_chunks.gather_host(s, n_b) for s in subsets]
+            idxd = jnp.asarray(np.stack([p[0] for p in plans]))
+            idxc = jnp.asarray(np.stack([p[1] for p in plans]))
+            slot = jnp.asarray(np.stack([p[2] for p in plans]))
+            W_, H_, packed = _fused_chunk_pair(
+                self._A_chunks, idxd, idxc, slot, seeds,
+                jnp.asarray(W_parent, self.dtype), wc=n_b,
+                opts=self.opts.nmf_opts, init=self.init,
+                fdtype=self.dtype, restarts=self.restarts,
+            )
         return (W_, H_, packed, subsets, W_parent)
 
     def dispatch_pair(self, subset_l, subset_r, W_parent):
@@ -712,14 +925,25 @@ class _Rank2Runner:
             # is the escape hatch
             init = self.init if attempt == 0 else "random"
             if subset is None:
-                W_, H_, packed = _fused_masked_solve(
-                    self.a_op, None, seed, wp,
-                    opts=nmf_opts, init=init, fdtype=self.dtype,
-                    restarts=self.restarts,
-                )
+                if self.should_segment_full():
+                    W_, H_, packed = self._budget_segmented_masked(
+                        None, seed, wp)
+                else:
+                    W_, H_, packed = _fused_masked_solve(
+                        self.a_op, None, seed, wp,
+                        opts=nmf_opts, init=init, fdtype=self.dtype,
+                        restarts=self.restarts,
+                    )
                 count, sel = self.n, slice(None)
             else:
                 n_b = _bucket_for(len(subset))
+                wc = self._chunk_bucket(subset)
+                from .hier_chain import _dbg as _dbg2
+                _dbg2(f"[seq] solve subset={len(subset)} n_b={n_b} "
+                      f"wc={wc} tier="
+                      + ("gather" if (self._A_ext is not None
+                                      and n_b < self.n) else
+                         ("chunk" if wc is not None else "masked")))
                 if self._A_ext is not None and n_b < self.n:
                     W_, H_, packed = _fused_gather_solve(
                         self._A_ext, self._padded_idx(subset, n_b), seed,
@@ -727,6 +951,22 @@ class _Rank2Runner:
                         fdtype=self.dtype, restarts=self.restarts,
                     )
                     count, sel = n_b, slice(0, len(subset))
+                elif wc is not None:
+                    # sparse fast path: chunk-gathered subset operand
+                    # (cost ~ subset nonzeros, not full width)
+                    idxd, idxc, slot = self._A_chunks.gather_host(
+                        subset, wc)
+                    W_, H_, packed = _fused_chunk_solve(
+                        self._A_chunks, jnp.asarray(idxd),
+                        jnp.asarray(idxc), jnp.asarray(slot), seed, wp,
+                        wc=wc, opts=nmf_opts, init=init,
+                        fdtype=self.dtype, restarts=self.restarts,
+                    )
+                    count, sel = wc, slice(0, len(subset))
+                elif self.should_segment_full():
+                    W_, H_, packed = self._budget_segmented_masked(
+                        subset, seed, wp)
+                    count, sel = self.n, np.asarray(subset)
                 else:
                     # bucket the scatter width like the gather path, or
                     # every distinct subset size would retrace (and
@@ -1040,6 +1280,7 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
                stats: ClustStats | None = None,
                checkpoint_path: str | None = None,
                mesh=None,
+               host_A=None,
                _interrupt_after: int | None = None):
     """Build the hierarchical clustering tree.
 
@@ -1076,13 +1317,16 @@ def clust_hier(A, opts: ClustOptions, rng: Random,
     node_count = 2 * (num_clusters - 1)
 
     inits = _InitializerSource(m, n, rng, opts.initdir, dtype=np.float64)
-    host_A = None
-    if opts.initdir:
-        import scipy.sparse as sp
+    import scipy.sparse as sp
 
+    if host_A is None:
+        # kept for the initdir row-support semantics AND the sparse
+        # chunk-gather fast path (see _Rank2Runner.__init__); callers
+        # passing a prebuilt sparse AOp supply host_A= explicitly to
+        # get the chunk path
         if sp.issparse(A):
             host_A = A.tocsc()
-        elif isinstance(A, np.ndarray):
+        elif opts.initdir and isinstance(A, np.ndarray):
             host_A = A
     runner = _Rank2Runner(a_op, opts, inits, stats, dtype, mesh=mesh,
                           host_A=host_A)

@@ -113,6 +113,20 @@ class EllAOp:
         self.col_blocks = col_blocks    # list of (inv(n,), buckets) or None
         self.col_block_size = int(col_block_size)
 
+    @property
+    def padded_nnz(self):
+        """Padded gather-table entries per product (the actual per-product
+        gather work including bucket padding) — used by run_nmf's
+        dispatch-time budget model."""
+        def fam(buckets, blocks):
+            if blocks is not None:
+                return sum(int(idx.size) for _, bkts in blocks
+                           for idx, _ in bkts)
+            return sum(int(idx.size) for idx, _ in buckets)
+
+        return max(fam(self.col_buckets, self.col_blocks),
+                   fam(self.row_buckets, self.row_blocks))
+
     @classmethod
     def from_scipy(cls, A, dtype=jnp.float32, min_len=8, pad_multiple=1,
                    doc_block="auto", term_block="auto"):

@@ -20,22 +20,24 @@ class BppState(NamedTuple):
     Wt: jnp.ndarray   # k x m (warm start for the W-side NNLS)
     WtW: jnp.ndarray  # k x k
     WtA: jnp.ndarray  # k x n
+    pivot_rounds: jnp.ndarray  # cumulative NNLS pivot rounds (int32)
 
 
 def init(a_op, W, H) -> BppState:
-    return BppState(Wt=W.T, WtW=gram(W), WtA=a_op.mm_tn(W))
+    return BppState(Wt=W.T, WtW=gram(W), WtA=a_op.mm_tn(W),
+                    pivot_rounds=jnp.zeros((), jnp.int32))
 
 
 def step(a_op, W, H, state: BppState):
-    Wt, WtW, WtA = state
+    Wt, WtW, WtA, rounds = state
 
     # H-side: solve (W'W) H = W'A with H >= 0
-    H, gradH, ok_h = nnls_blockpivot(WtW, WtA, H)
+    H, gradH, ok_h, r_h = nnls_blockpivot(WtW, WtA, H)
 
     # W-side: solve (HH') W' = H A' with W' >= 0
     HHt = gram_t(H)
     HAt = a_op.mm_nt(H).T  # (k, m) == H @ A'
-    Wt, gradWt, ok_w = nnls_blockpivot(HHt, HAt, Wt)
+    Wt, gradWt, ok_w, r_w = nnls_blockpivot(HHt, HAt, Wt)
 
     W = Wt.T
 
@@ -58,4 +60,6 @@ def step(a_op, W, H, state: BppState):
     gradH = gemm(WtW, H) - WtA
 
     ok = ok_h & ok_w
-    return W, H, gradW, gradH, BppState(Wt=Wt, WtW=WtW, WtA=WtA), ok
+    return W, H, gradW, gradH, BppState(
+        Wt=Wt, WtW=WtW, WtA=WtA, pivot_rounds=rounds + r_h + r_w
+    ), ok

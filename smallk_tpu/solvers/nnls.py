@@ -475,17 +475,46 @@ _REDUCE_FRACTION = 8
 _REDUCE_MIN_N = 2048
 
 
+def _pivot_cols(P, Ninf, nonopt, infeas, not_good, sel):
+    """One pivot-rule update on the columns flagged in `sel`
+    (UpdatePassiveSet nnls.cpp:18-74).  All inputs column-sliced to the
+    same width.  Module-level so instrumentation probes can trace the
+    exact production pivot logic."""
+    cols1 = sel & (not_good < Ninf)
+    cols2 = sel & (not_good >= Ninf) & (P >= 1)
+    cols3 = sel & ~cols1 & ~cols2
+
+    P = jnp.where(cols1, PBAR, jnp.where(cols2, P - 1, P))
+    Ninf = jnp.where(cols1, not_good, Ninf)
+    return P, Ninf, cols1, cols2, cols3
+
+
+def _update_passive(passive, nonopt, infeas, cols1, cols2, cols3):
+    w = passive.shape[0]
+    rids = jnp.arange(w, dtype=jnp.int32)[:, None]
+    # full-exchange for cols1|cols2: set nonopt bits, clear infeasible
+    cc = (cols1 | cols2)[None, :]
+    passive = (passive | (nonopt & cc)) & ~(infeas & cc)
+    # backup rule for cols3: toggle the highest-index offending bit
+    r1 = jnp.max(jnp.where(nonopt, rids, -1), axis=0)
+    r2 = jnp.max(jnp.where(infeas, rids, -1), axis=0)
+    toggle = (rids == jnp.maximum(r1, r2)[None, :]) & cols3[None, :]
+    return passive ^ toggle
+
+
 def nnls_blockpivot(LHS, RHS, Xinit):
     """Solve LHS @ X = RHS s.t. X >= 0 columnwise, LHS (k,k) SPD.
 
-    Returns (X, Y, ok) where Y = LHS X - RHS is the gradient.
+    Returns (X, Y, ok, rounds) where Y = LHS X - RHS is the gradient and
+    `rounds` is the number of pivot rounds (masked solves after the
+    initial one) — surfaced through BppState/NmfStats for the solve-tier
+    instrumentation the 1M-doc work needs.
     Mirrors reference NnlsBlockpivot (nnls.hpp:144-244): warm start passive
     set from Xinit > 0; iteration cap 5k; small-value zeroing at 1e-12.
     """
     k, n = RHS.shape
     reduce_width = (n >= _REDUCE_MIN_N and k >= _COMPACT_MIN_K)
     max_iter = 5 * k * (_REDUCE_FRACTION if reduce_width else 1)
-    row_ids = jnp.arange(k, dtype=jnp.int32)[:, None]  # (k, 1)
     eps = jnp.finfo(RHS.dtype).eps
 
     # Sign-test tolerances.  The reference zeroizes |x| < 1e-12 (nnls.hpp:
@@ -529,29 +558,6 @@ def nnls_blockpivot(LHS, RHS, Xinit):
         X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
         return jnp.any(not_good > 0) & (it < max_iter)
 
-    def _pivot_cols(P, Ninf, nonopt, infeas, not_good, sel):
-        """One pivot round on the columns flagged in `sel` (UpdatePassiveSet
-        nnls.cpp:18-74).  All inputs column-sliced to the same width."""
-        cols1 = sel & (not_good < Ninf)
-        cols2 = sel & (not_good >= Ninf) & (P >= 1)
-        cols3 = sel & ~cols1 & ~cols2
-
-        P = jnp.where(cols1, PBAR, jnp.where(cols2, P - 1, P))
-        Ninf = jnp.where(cols1, not_good, Ninf)
-        return P, Ninf, cols1, cols2, cols3
-
-    def _update_passive(passive, nonopt, infeas, cols1, cols2, cols3):
-        w = passive.shape[0]
-        rids = jnp.arange(w, dtype=jnp.int32)[:, None]
-        # full-exchange for cols1|cols2: set nonopt bits, clear infeasible
-        cc = (cols1 | cols2)[None, :]
-        passive = (passive | (nonopt & cc)) & ~(infeas & cc)
-        # backup rule for cols3: toggle the highest-index offending bit
-        r1 = jnp.max(jnp.where(nonopt, rids, -1), axis=0)
-        r2 = jnp.max(jnp.where(infeas, rids, -1), axis=0)
-        toggle = (rids == jnp.maximum(r1, r2)[None, :]) & cols3[None, :]
-        return passive ^ toggle
-
     def body(carry):
         X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
         notopt_col = not_good > 0
@@ -578,75 +584,145 @@ def nnls_blockpivot(LHS, RHS, Xinit):
         ).astype(jnp.int32)
         return (X, Y, passive, P, Ninf, nonopt, infeas, not_good, it + 1)
 
+    # Width ladder for the wide high-rank regime.  Measured trajectory
+    # at the flagship 1M-doc k=128 shape (scripts/tpu_batch63): after a
+    # W update essentially EVERY column needs pivoting (999,999 of 1M
+    # flagged), and the non-optimal set then collapses geometrically
+    # (119k -> 17.6k -> 107 -> 0 within a slab).  So the scheduler runs
+    # FULL-WIDTH rounds while most columns are bad (zero gather waste,
+    # one efficient pass), hands the survivors to an n/8 slab, and the
+    # last stragglers to an n/128 tail slab — each tier gathers ONCE,
+    # runs its pivot rounds slab-resident in a nested while_loop, and
+    # scatters ONCE.  (The round-4 scheduler paid five full-(k, n)
+    # scatters, a full dx pass, and a length-n argsort on EVERY round;
+    # the loose-CG-tolerance control showed those streams, not the CG
+    # steps, were the whole solve-tier cost.)
     NB = max(_REDUCE_MIN_N // _REDUCE_FRACTION, n // _REDUCE_FRACTION)
+    NB2 = max(_REDUCE_MIN_N // _REDUCE_FRACTION,
+              n // (16 * _REDUCE_FRACTION))
 
-    def body_reduced(carry):
-        """Width-reduced pivot round: gather up to NB non-optimal columns,
-        run their pivot step, scatter back.  Per-column semantics —
-        unselected non-optimal columns are untouched (the pivot state
-        machines and the per-entry dy tolerances are column-local) and
-        get picked up in later rounds.  The only cross-column coupling is
-        the dx infeasibility floor (a global max over X, matching the
-        full-width body's deltas(X)); columns whose entries sit exactly
-        at that noise floor may pivot one round earlier/later than under
-        full-width scheduling, which alters nothing above the f32 noise
-        scale."""
-        X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
-        bad = not_good > 0
-        ids = jnp.argsort(~bad, stable=True)[:NB]  # bad columns first
-        sel = bad[ids]  # (NB,)
+    def make_slab_round(nb, exit_below):
+        """One gathered tier pass at width `nb`.  Gather up to nb
+        non-optimal columns, run their pivot rounds on the (k, nb) slab
+        until the slab's bad count drops to `exit_below` (0 = slab
+        fully optimal; a positive threshold hands the tail to the next
+        narrower tier), scatter back once.
 
-        P_s, Ninf_s, c1, c2, c3 = _pivot_cols(
-            P[ids], Ninf[ids], nonopt[:, ids], infeas[:, ids],
-            not_good[ids], sel,
-        )
-        passive_s = _update_passive(
-            passive[:, ids], nonopt[:, ids], infeas[:, ids], c1, c2, c3
-        )
+        Semantics: per-column pivot state machines are independent
+        (nmf_solver_bpp.hpp:182-216 — no cross-column coupling), and a
+        column that passes its optimality test is never retested by the
+        full-width body either (`mask` in `body`), so slab rounds
+        replay exactly the per-column pivot sequences the full-width
+        scheduling would — only the round scheduling differs.  The one
+        global quantity, the dx infeasibility floor max|X|, is
+        reproduced exactly: non-slab columns cannot change during the
+        inner rounds, so max|X| == max(x_other, max|X_slab|) with
+        x_other computed once at gather time."""
 
-        RHS_s = RHS[:, ids]
-        Xs = _masked_solve(LHS, RHS_s, passive_s, x0=X[:, ids])
-        Ys = gemm(LHS, Xs) - RHS_s
-        Xs = jnp.where(sel[None, :], Xs, X[:, ids])
-        Ys = jnp.where(sel[None, :], Ys, Y[:, ids])
+        def slab_round(carry):
+            X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = carry
+            bad = not_good > 0
+            ids = jnp.argsort(~bad, stable=True)[:nb]  # bad cols first
 
-        # scatter X first: the infeasibility tolerance dx must be the max
-        # over the FULL updated X, exactly as the full-width body's
-        # deltas(X) — a slab-local max would make a column's pivot
-        # sequence depend on which columns shared its slab, breaking the
-        # "same per-column pivot sequence under either scheduling"
-        # guarantee at the tolerance margin
-        X = X.at[:, ids].set(Xs)
-        dx = 512.0 * eps * jnp.maximum(1.0, jnp.max(jnp.abs(X)))
-        dy_s = 16.0 * eps * (
-            gemm(abs_lhs, jnp.abs(Xs)) + jnp.abs(RHS_s)
-        )
-        nonopt_s = jnp.where(
-            sel[None, :], (Ys < -dy_s) & ~passive_s, nonopt[:, ids]
-        )
-        infeas_s = jnp.where(
-            sel[None, :], (Xs < -dx) & passive_s, infeas[:, ids]
-        )
-        ng_s = (
-            jnp.sum(nonopt_s, axis=0) + jnp.sum(infeas_s, axis=0)
-        ).astype(jnp.int32)
+            Xs = X[:, ids]
+            Ys = Y[:, ids]
+            RHS_s = RHS[:, ids]
+            abs_rhs_s = jnp.abs(RHS_s)
+            passive_s = passive[:, ids]
+            P_s = P[ids]
+            Ninf_s = Ninf[ids]
+            nonopt_s = nonopt[:, ids]
+            infeas_s = infeas[:, ids]
+            ng_s = not_good[ids]  # == 0 for padding (non-bad) columns
 
-        # scatter the remaining selected-column state (ids are unique)
-        Y = Y.at[:, ids].set(Ys)
-        passive = passive.at[:, ids].set(passive_s)
-        P = P.at[ids].set(jnp.where(sel, P_s, P[ids]))
-        Ninf = Ninf.at[ids].set(jnp.where(sel, Ninf_s, Ninf[ids]))
-        nonopt = nonopt.at[:, ids].set(nonopt_s)
-        infeas = infeas.at[:, ids].set(infeas_s)
-        not_good = not_good.at[ids].set(
-            jnp.where(sel, ng_s, not_good[ids])
-        )
-        return (X, Y, passive, P, Ninf, nonopt, infeas, not_good, it + 1)
+            col_max = jnp.max(jnp.abs(X), axis=0)  # one (k, n) pass
+            x_other = jnp.max(col_max.at[ids].set(0.0))
+
+            def inner_cond(c):
+                live = jnp.sum((c[7] > 0).astype(jnp.int32))
+                return (live > exit_below) & (c[8] < max_iter)
+
+            def inner_body(c):
+                (Xs, Ys, passive_s, P_s, Ninf_s, nonopt_s, infeas_s,
+                 ng_s, it_i) = c
+                sel = ng_s > 0
+                P_s, Ninf_s, c1, c2, c3 = _pivot_cols(
+                    P_s, Ninf_s, nonopt_s, infeas_s, ng_s, sel
+                )
+                # _update_passive is a no-op on non-selected columns
+                # (all three cols masks are gated on sel)
+                passive_s = _update_passive(passive_s, nonopt_s,
+                                            infeas_s, c1, c2, c3)
+                Xn = _masked_solve(LHS, RHS_s, passive_s, x0=Xs)
+                Yn = gemm(LHS, Xn) - RHS_s
+                Xs = jnp.where(sel[None, :], Xn, Xs)
+                Ys = jnp.where(sel[None, :], Yn, Ys)
+                dx = 512.0 * eps * jnp.maximum(
+                    1.0, jnp.maximum(x_other, jnp.max(jnp.abs(Xs)))
+                )
+                dy_s = 16.0 * eps * (
+                    gemm(abs_lhs, jnp.abs(Xs)) + abs_rhs_s
+                )
+                nonopt_s = jnp.where(sel[None, :],
+                                     (Ys < -dy_s) & ~passive_s,
+                                     nonopt_s)
+                infeas_s = jnp.where(sel[None, :],
+                                     (Xs < -dx) & passive_s, infeas_s)
+                ng_s = jnp.where(
+                    sel,
+                    (jnp.sum(nonopt_s, axis=0)
+                     + jnp.sum(infeas_s, axis=0)).astype(jnp.int32),
+                    ng_s,
+                )
+                return (Xs, Ys, passive_s, P_s, Ninf_s, nonopt_s,
+                        infeas_s, ng_s, it_i + 1)
+
+            (Xs, Ys, passive_s, P_s, Ninf_s, nonopt_s, infeas_s, ng_s,
+             it) = jax.lax.while_loop(
+                inner_cond, inner_body,
+                (Xs, Ys, passive_s, P_s, Ninf_s, nonopt_s, infeas_s,
+                 ng_s, it),
+            )
+
+            # one scatter per tier pass (ids are unique; non-selected
+            # slab columns scatter back their unchanged gathered state)
+            X = X.at[:, ids].set(Xs)
+            Y = Y.at[:, ids].set(Ys)
+            passive = passive.at[:, ids].set(passive_s)
+            P = P.at[ids].set(P_s)
+            Ninf = Ninf.at[ids].set(Ninf_s)
+            nonopt = nonopt.at[:, ids].set(nonopt_s)
+            infeas = infeas.at[:, ids].set(infeas_s)
+            not_good = not_good.at[ids].set(ng_s)
+            return (X, Y, passive, P, Ninf, nonopt, infeas, not_good, it)
+
+        return slab_round
+
+    if reduce_width:
+        big_round = make_slab_round(NB, max(1, NB2 // 2) if NB2 < NB
+                                    else 0)
+        tail_round = (make_slab_round(NB2, 0) if NB2 < NB
+                      else big_round)
+
+        def body_ladder(carry):
+            nbad = jnp.sum((carry[7] > 0).astype(jnp.int32))
+
+            def slab(carry):
+                return jax.lax.cond(nbad > NB2, big_round, tail_round,
+                                    carry)
+
+            # more bad columns than the slab holds -> a full-width
+            # round is both gather-free and waste-free
+            return jax.lax.cond(nbad > NB, body, slab, carry)
+
+        loop_body = body_ladder
+    else:
+        loop_body = body
 
     carry = (X, Y, passive, P, Ninf, nonopt, infeas, not_good,
              jnp.zeros((), dtype=jnp.int32))
     X, Y, passive, P, Ninf, nonopt, infeas, not_good, it = jax.lax.while_loop(
-        cond, body_reduced if reduce_width else body, carry
+        cond, loop_body, carry
     )
 
     converged = jnp.logical_not(jnp.any(not_good > 0))
@@ -660,7 +736,7 @@ def nnls_blockpivot(LHS, RHS, Xinit):
     # (unnormalized count matrices); the reference's absolute 1e-12
     # (nnls.hpp) is the f64 special case of this
     X = zeroize_small(X, 8.0 * eps * jnp.maximum(1.0, jnp.max(X)))
-    return X, Y, converged & finite
+    return X, Y, converged & finite, it
 
 
 def nnls_hals(a_op, W, H, tol, max_iter):

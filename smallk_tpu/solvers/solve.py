@@ -98,6 +98,14 @@ class SolveResult(NamedTuple):
     converged: jnp.ndarray   # metric criterion satisfied
     success: jnp.ndarray     # converged OR ran to max_iter without failure
     metric: jnp.ndarray      # last progress metric value
+    # cumulative NNLS pivot rounds (BPP only; 0 elsewhere) — solve-tier
+    # telemetry for the wide-matrix regime (§5.7)
+    pivot_rounds: jnp.ndarray = 0
+    # final progress-estimator state: the PG_RATIO pg0 anchor (scalar) or
+    # the DELTA_FNORM W_prev.  Lets segmented drivers (auto-chunking,
+    # checkpoint/resume) continue the EXACT monolithic stopping criterion
+    # by passing pg0_hint=prog_state to the next segment.
+    prog_state: jnp.ndarray = 0
 
 
 def get_solver(algorithm: NmfAlgorithm):
@@ -285,6 +293,8 @@ def _nmf_solve_impl(a_op, W0, H0, opts: NmfOptions,
 
     # reaching max_iter without failure counts as success (reference :132-135)
     success = ~failed & (done | (it >= opts.max_iter))
+    rounds = getattr(sstate, "pivot_rounds", jnp.zeros((), jnp.int32))
     return SolveResult(
-        W=W, H=H, iterations=it, converged=done, success=success, metric=metric
+        W=W, H=H, iterations=it, converged=done, success=success,
+        metric=metric, pivot_rounds=rounds, prog_state=pstate,
     )

@@ -824,3 +824,197 @@ def test_chain_checkpoint_resume(monkeypatch, tmp_path):
     np.testing.assert_array_equal(tree.assignments, ref_tree.assignments)
     assert [n.priority for n in tree.nodes] == \
         [n.priority for n in ref_tree.nodes]
+
+
+class TestChunkGatherPath:
+    """Sparse single-device fast path: per-node chunk-gathered subset
+    operands (ops/ell_cols) instead of full-width masked solves
+    (VERDICT r4 #2 / reference SubMatrixColsCompact scaling)."""
+
+    def _sparse_setup(self, seed=1):
+        from smallk_tpu.ops.ell import EllAOp
+
+        A, labels = _planted_matrix(m=60, n=90, k=3, seed=seed,
+                                    noise=0.0)
+        A_sp = sp.csc_matrix(A)
+        op = EllAOp.from_scipy(A_sp, dtype=np.float64)
+        return A_sp, op, labels
+
+    def _spy_gathers(self, monkeypatch):
+        """Count chunk-gather plans (each chunk-tier solve/pair builds
+        one per subset) — proves the fast path actually engaged.  Also
+        shrink the bucket floor so the tiny test corpus is eligible."""
+        import smallk_tpu.engines.hierclust as hc
+        from smallk_tpu.ops.ell_cols import CscChunks
+
+        monkeypatch.setattr(hc, "_MIN_BUCKET", 8)
+        calls = []
+        orig = CscChunks.gather_host
+
+        def spy(self, subset, wc):
+            calls.append(len(subset))
+            return orig(self, subset, wc)
+
+        monkeypatch.setattr(CscChunks, "gather_host", spy)
+        return calls
+
+    def test_chunk_path_engages_and_recovers(self, monkeypatch):
+        from smallk_tpu.engines import hier_chain
+
+        calls = self._spy_gathers(monkeypatch)
+        A_sp, op, labels = self._sparse_setup()
+        opts = _clust_opts(3)
+        tree, stats = clust_hier(op, opts, Random(1), host_A=A_sp)
+        a = tree.assignments
+        assigned = a >= 0
+        assert _purity(a[assigned], labels[assigned]) > 0.95
+        # the chunk machinery actually ran: either sequential host-plan
+        # gathers or (since the chain grew sparse support) chain commits
+        assert len(calls) > 0 or hier_chain.LAST_STATS["committed"] > 0
+
+    def test_chunk_matches_masked_path(self, monkeypatch):
+        """The chunk-gathered and masked full-width formulations factor
+        the same subsets from the same seeds.  Their f64 products differ
+        only in summation order (~1e-16), which can flip exact ties on a
+        noiseless corpus, so ties are broken with noise and agreement is
+        required to be near-exact rather than bitwise."""
+        from smallk_tpu.ops.ell import EllAOp
+
+        calls = self._spy_gathers(monkeypatch)
+        A, labels = _planted_matrix(m=60, n=90, k=3, seed=1, noise=0.01)
+        A_sp = sp.csc_matrix(A)
+        op = EllAOp.from_scipy(A_sp, dtype=np.float64)
+        opts = _clust_opts(3)
+        t1, _ = clust_hier(op, opts, Random(9), host_A=A_sp)   # chunks
+        n_chunk_calls = len(calls)
+        t2, _ = clust_hier(op, opts, Random(9))                # masked
+        assert n_chunk_calls > 0 and len(calls) == n_chunk_calls
+        agree = np.mean(t1.assignments == t2.assignments)
+        assert agree >= 0.97, f"agreement {agree}"
+
+    def test_runner_built_chunks(self, monkeypatch):
+        """A sparse operand + scipy host_A must build the chunk table
+        and route subset solves through it."""
+        import smallk_tpu.engines.hierclust as hc
+        from smallk_tpu.common.options import ClustStats
+        from smallk_tpu.engines.hierclust import (
+            _InitializerSource,
+            _Rank2Runner,
+        )
+
+        monkeypatch.setattr(hc, "_MIN_BUCKET", 8)
+        A_sp, op, labels = self._sparse_setup()
+        opts = _clust_opts(3)
+        rng = Random(3)
+        inits = _InitializerSource(60, 90, rng, None, dtype=np.float64)
+        r = _Rank2Runner(op, opts, inits, ClustStats(), np.float64,
+                         host_A=A_sp)
+        assert r._A_chunks is not None
+        assert r._A_ext is None
+        wc = r._chunk_bucket(np.arange(30))
+        assert wc is not None and wc < r._A_chunks.C + 1
+        res = r.solve(np.arange(30), w_parent=None)
+        assert res.ok and res.left.shape == (30,)
+
+
+class TestSparseChain:
+    """Multi-split chain on SPARSE operands (VERDICT r4 #2): chunk-
+    gathered subset solves inside the chain program, bit-identical to
+    the sequential chunk path (both trace _solve_from_draw on
+    identically-planned gathered operands)."""
+
+    def _sparse_corpus(self, seed=5):
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+        from smallk_tpu.ops.ell import EllAOp
+
+        A, _ = synthetic_term_doc_corpus(700, 1400, 10, seed=seed)
+        A_sp = sp.csc_matrix(A).astype(np.float64)
+        op = EllAOp.from_scipy(A_sp, dtype=np.float64)
+        return A_sp, op
+
+    def test_bit_identical_sparse(self, monkeypatch):
+        from smallk_tpu.engines import hier_chain
+
+        A_sp, op = self._sparse_corpus()
+        opts = _clust_opts(10)
+
+        monkeypatch.setattr(hier_chain, "CHAIN", False)
+        ref_tree, ref_stats = clust_hier(op, opts, Random(21),
+                                         host_A=A_sp)
+        monkeypatch.setattr(hier_chain, "CHAIN", True)
+        monkeypatch.setattr(hier_chain, "CHAIN_SEG", 32)
+        tree, stats = clust_hier(op, opts, Random(21), host_A=A_sp)
+
+        assert hier_chain.LAST_STATS["committed"] >= 5
+        np.testing.assert_array_equal(tree.assignments,
+                                      ref_tree.assignments)
+        assert stats.nmf_count == ref_stats.nmf_count
+        assert stats.iter_count == ref_stats.iter_count
+
+    def test_sparse_chain_engages_without_dense(self, monkeypatch):
+        """The chain must report segments on a sparse operand (no
+        _A_ext) and produce a sane tree."""
+        from smallk_tpu.engines import hier_chain
+
+        A_sp, op = self._sparse_corpus(seed=7)
+        opts = _clust_opts(8)
+        monkeypatch.setattr(hier_chain, "CHAIN_SEG", 8)
+        tree, stats = clust_hier(op, opts, Random(3), host_A=A_sp)
+        assert hier_chain.LAST_STATS["segments"] >= 1
+        assert hier_chain.LAST_STATS["committed"] >= 4
+        leaves = sum(tree.is_leaf)
+        assert leaves == 8
+
+
+class TestBudgetSegmentedNodeSolve:
+    """Watchdog-safe node solves (dispatch-budget environments): a
+    full-width node solve estimated past the budget runs in segments
+    with exact stopping-criterion parity — the tree must equal the
+    un-budgeted run's."""
+
+    def test_tree_parity_under_budget(self, monkeypatch):
+        import smallk_tpu.engines.hierclust as hc
+        from smallk_tpu.engines import hier_chain
+
+        A, labels = _planted_matrix(m=60, n=90, k=3, seed=2, noise=0.01)
+        opts = _clust_opts(3)
+
+        monkeypatch.delenv("SMALLK_TPU_DISPATCH_BUDGET_S",
+                           raising=False)
+        monkeypatch.setattr(hier_chain, "CHAIN", False)
+        t_ref, s_ref = clust_hier(A, opts, Random(21))
+
+        # tiny budget + a forced estimate gate: every full-width solve
+        # segments.  Initializer draw and pg0 carry are exact, so the
+        # tree must match bitwise.
+        monkeypatch.setenv("SMALLK_TPU_DISPATCH_BUDGET_S", "1e-9")
+        t_seg, s_seg = clust_hier(A, opts, Random(21))
+        np.testing.assert_array_equal(t_seg.assignments,
+                                      t_ref.assignments)
+        assert s_seg.nmf_count == s_ref.nmf_count
+
+    def test_root_gate_engages(self, monkeypatch):
+        """With a configured budget and a huge estimate the chain must
+        bail the root to the host segmented path (and still build the
+        same tree)."""
+        from smallk_tpu.engines import hier_chain
+        from smallk_tpu.engines.corpus import synthetic_term_doc_corpus
+
+        A, _ = synthetic_term_doc_corpus(700, 1400, 6, seed=5)
+        A = np.asarray(A.todense()).astype(np.float64)
+        opts = _clust_opts(6)
+        monkeypatch.delenv("SMALLK_TPU_DISPATCH_BUDGET_S",
+                           raising=False)
+        monkeypatch.setattr(hier_chain, "CHAIN", True)
+        t_ref, _ = clust_hier(A, opts, Random(21))
+        assert hier_chain.LAST_STATS["committed"] > 0  # chain ran
+
+        # budget chosen so the 150-iteration full-width root estimate
+        # exceeds it (root gate fires) while the per-step width filter
+        # keeps the narrow buckets (the chain still runs segments) —
+        # both gates are model-based, so this is deterministic
+        monkeypatch.setenv("SMALLK_TPU_DISPATCH_BUDGET_S", "0.02")
+        t_b, _ = clust_hier(A, opts, Random(21))
+        assert hier_chain.LAST_STATS["bails"] >= 1  # root gate fired
+        np.testing.assert_array_equal(t_b.assignments,
+                                      t_ref.assignments)

@@ -278,3 +278,114 @@ def test_ell_low_precision_storage_solver_parity(storage):
         np.testing.assert_allclose(np.asarray(ell.W),
                                    np.asarray(dense.W), rtol=2e-2,
                                    atol=1e-4)
+
+
+class TestCscChunks:
+    """Chunk-expanded column-subset operand (ops/ell_cols.py) vs dense
+    A[:, subset] — the TPU SubMatrixColsCompact equivalent (reference
+    sparse_matrix_impl.hpp:479)."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    @pytest.mark.parametrize("L0", [None, 4, 16])
+    def test_subset_products_match_dense(self, seed, L0):
+        import jax
+
+        from smallk_tpu.ops.ell_cols import CscChunks
+
+        m, n, k = 60, 90, 2
+        A, W, H = _random_problem(m, n, k, 0.15, seed)
+        chunks = CscChunks.from_scipy(A, dtype=DTYPE, L0=L0)
+        rng = np.random.RandomState(seed + 100)
+        subset = np.sort(rng.choice(n, size=25, replace=False))
+        wc = 1
+        while wc < max(chunks.subset_chunk_count(subset), 25, 64):
+            wc <<= 1
+        Ad = A[:, subset].toarray()
+
+        # host plan
+        idx_docs, idx_chunks, slot = chunks.gather_host(subset, wc)
+        op = chunks.gathered(jnp.asarray(idx_chunks),
+                             jnp.asarray(slot), wc)
+        Wd = jnp.asarray(W)
+        Hs = jnp.asarray(np.pad(H[:, subset], ((0, 0), (0, wc - 25))))
+        WtA = np.asarray(op.mm_tn(Wd))
+        np.testing.assert_allclose(WtA[:, :25], W.T @ Ad, atol=1e-12)
+        np.testing.assert_allclose(WtA[:, 25:], 0.0, atol=0)
+        AHt = np.asarray(op.mm_nt(Hs))
+        np.testing.assert_allclose(AHt, Ad @ H[:, subset].T, atol=1e-12)
+
+        # device plan from a boolean mask agrees with the host plan
+        mask = np.zeros(n, dtype=bool)
+        mask[subset] = True
+
+        @jax.jit
+        def dev_products(mask, W, Hs):
+            idx_d, idx_c, sl = chunks.gather_device(mask, wc)
+            opd = chunks.gathered(idx_c, sl, wc)
+            return idx_d, opd.mm_tn(W), opd.mm_nt(Hs)
+
+        idx_d, WtA2, AHt2 = dev_products(jnp.asarray(mask), Wd, Hs)
+        np.testing.assert_array_equal(np.asarray(idx_d), idx_docs)
+        np.testing.assert_allclose(np.asarray(WtA2), WtA, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(AHt2), AHt, atol=1e-12)
+
+    def test_empty_and_long_columns(self):
+        from smallk_tpu.ops.ell_cols import CscChunks
+
+        m, n = 40, 12
+        rng = np.random.RandomState(0)
+        A = sp.lil_matrix((m, n))
+        A[:, 3] = rng.rand(m, 1)          # full column (many chunks)
+        A[0, 7] = 2.0                     # single-entry column
+        # column 5 left empty
+        A = A.tocsc()
+        chunks = CscChunks.from_scipy(A, dtype=DTYPE, L0=8)
+        subset = np.array([3, 5, 7])
+        wc = 16
+        _, idx_chunks, slot = chunks.gather_host(subset, wc)
+        op = chunks.gathered(jnp.asarray(idx_chunks),
+                             jnp.asarray(slot), wc)
+        W = jnp.asarray(rng.rand(m, 2))
+        WtA = np.asarray(op.mm_tn(W))
+        Ad = A[:, subset].toarray()
+        np.testing.assert_allclose(WtA[:, :3], np.asarray(W).T @ Ad,
+                                   atol=1e-12)
+        np.testing.assert_allclose(WtA[:, 3:], 0.0)
+
+    def test_rank2_solve_on_gathered_operand(self):
+        """A rank-2 NMF on the gathered operand matches the same solve
+        on the dense extracted submatrix (f64, same initializers)."""
+        from smallk_tpu.common.options import (
+            NmfAlgorithm,
+            NmfOptions,
+        )
+        from smallk_tpu.ops.ell_cols import CscChunks
+        from smallk_tpu.solvers.solve import nmf_solve
+
+        m, n = 50, 80
+        A, _, _ = _random_problem(m, n, 2, 0.2, 5)
+        A.data[:] = np.abs(A.data)
+        chunks = CscChunks.from_scipy(A, dtype=DTYPE)
+        rng = np.random.RandomState(2)
+        subset = np.sort(rng.choice(n, size=30, replace=False))
+        wc = 64
+        _, idx_chunks, slot = chunks.gather_host(subset, wc)
+        op = chunks.gathered(jnp.asarray(idx_chunks),
+                             jnp.asarray(slot), wc)
+        W0 = rng.rand(m, 2)
+        H0 = np.pad(rng.rand(2, 30), ((0, 0), (0, wc - 30)))
+        opts = NmfOptions(
+            tol=1e-6, algorithm=NmfAlgorithm.RANK2, height=m, width=wc,
+            k=2, min_iter=1, max_iter=200, verbose=False,
+            dtype="float64",
+        )
+        r1 = nmf_solve(op, jnp.asarray(W0), jnp.asarray(H0), opts)
+        dense_sub = np.zeros((m, wc))
+        dense_sub[:, :30] = A[:, subset].toarray()
+        r2 = nmf_solve(DenseAOp(jnp.asarray(dense_sub)),
+                       jnp.asarray(W0), jnp.asarray(H0), opts)
+        assert bool(r1.success) and bool(r2.success)
+        np.testing.assert_allclose(np.asarray(r1.W), np.asarray(r2.W),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r1.H), np.asarray(r2.H),
+                                   atol=1e-8)

@@ -198,7 +198,7 @@ class TestBppOracle:
         assert okn
         from smallk_tpu.solvers.nnls import nnls_blockpivot
 
-        Xj, _, okj = nnls_blockpivot(
+        Xj, _, okj, _ = nnls_blockpivot(
             jnp.asarray(LHS, DTYPE), jnp.asarray(RHS, DTYPE),
             jnp.asarray(X0, DTYPE),
         )

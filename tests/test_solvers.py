@@ -48,7 +48,7 @@ class TestNnlsBlockpivot:
         RHS = Wf.T @ rng.rand(3 * k, n)
         Xinit = rng.rand(k, n) - 0.3  # mixed-sign warm start
 
-        X, Y, ok = nnls_blockpivot(
+        X, Y, ok, _ = nnls_blockpivot(
             jnp.asarray(LHS, DTYPE), jnp.asarray(RHS, DTYPE),
             jnp.asarray(Xinit, DTYPE),
         )
@@ -76,7 +76,7 @@ class TestNnlsBlockpivot:
         LHS = _spd(k, 11)
         Xtrue = rng.rand(k, n) + 0.1
         RHS = LHS @ Xtrue
-        X, Y, ok = nnls_blockpivot(
+        X, Y, ok, _ = nnls_blockpivot(
             jnp.asarray(LHS, DTYPE), jnp.asarray(RHS, DTYPE),
             jnp.asarray(Xtrue, DTYPE),
         )
@@ -383,7 +383,7 @@ class TestHighRankNnls:
         np.testing.assert_allclose(np.asarray(x_ch), np.asarray(x_gj),
                                    rtol=1e-8, atol=1e-9)
 
-        X, Y, ok = nn.nnls_blockpivot(
+        X, Y, ok, _ = nn.nnls_blockpivot(
             LHS, RHS, jnp.asarray(rng.rand(k, n) - 0.3, DTYPE)
         )
         assert bool(ok)
@@ -636,11 +636,11 @@ class TestWidthReducedPivot:
         RHS = jnp.asarray(B @ rng.rand(2 * k, n), DTYPE)
         Xinit = jnp.asarray(rng.rand(k, n) - 0.4, DTYPE)
 
-        X1, Y1, ok1 = nn.nnls_blockpivot(LHS, RHS, Xinit)
+        X1, Y1, ok1, _ = nn.nnls_blockpivot(LHS, RHS, Xinit)
         old = nn._REDUCE_MIN_N
         try:
             nn._REDUCE_MIN_N = 10 ** 9  # force the full-width body
-            X2, _, ok2 = nn.nnls_blockpivot(LHS, RHS, Xinit)
+            X2, _, ok2, _ = nn.nnls_blockpivot(LHS, RHS, Xinit)
         finally:
             nn._REDUCE_MIN_N = old
         assert bool(ok1) and bool(ok2)
@@ -664,7 +664,7 @@ def test_nonfinite_inputs_fail_not_succeed():
     LHS = jnp.asarray(B @ B.T + 0.1 * np.eye(k))
     RHS = np.asarray(B @ rng.rand(3 * k, n))
     RHS[1, 3] = np.inf
-    _, _, ok = nnls_blockpivot(LHS, jnp.asarray(RHS),
+    _, _, ok, _ = nnls_blockpivot(LHS, jnp.asarray(RHS),
                                jnp.asarray(rng.rand(k, n)))
     assert not bool(ok)
 
