@@ -45,7 +45,9 @@ proc = subprocess.run(
     [sys.executable, "-u", "-m", "smallk_tpu.cli.nmf_cli",
      "--matrixfile", mtx, "--k", str(k),
      "--algorithm", "BPP", "--miniter", "1", "--maxiter", "60",
-     "--tol", "1e-30", "--outdir", td],
+     "--tol", "1e-30",
+     "--outfile_W", os.path.join(td, "w.csv"),
+     "--outfile_H", os.path.join(td, "h.csv")],
     env=env, capture_output=True, text=True, timeout=2400,
 )
 wall = time.perf_counter() - t0
