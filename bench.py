@@ -150,11 +150,11 @@ def bench_all():
     # doc-blocked bucketed ELL).  A single-node CPU run at this size is
     # impractical for the reference (and its published tooling never
     # demonstrates it); vs_baseline is the ratio to the 1 it/s round-3
-    # target (VERDICT r2 #4).  Round-4 correction history and the
-    # round-5 width-ladder solve tier (0.69 -> 0.98 it/s, live
-    # factors; ~0.82 s/iter of the remaining 1.02 is the gather-product
-    # wall both MU and BPP pay) are documented in docs/benchmarks.md
-    # "Large-scale".  Bulk sampler instead of matrixgen's exact
+    # target (VERDICT r2 #4).  Round-4 correction history, the round-5
+    # width-ladder solve tier (0.69 -> 0.98 it/s, live factors) and the
+    # round-5 product rework (quarter-step bucket ladder + 131072 doc
+    # blocks: 0.98 -> 1.17 it/s measured, tpu_batch67/68) are
+    # documented in docs/benchmarks.md "Large-scale".  Bulk sampler instead of matrixgen's exact
     # rejection sampler (143 s at this size); duplicates summed, same
     # corpus statistics.
     import scipy.sparse as _sp

@@ -24,9 +24,46 @@ import numpy as np
 from .dense import _PRECISION, _pet
 
 
+# Quarter-step refinement of the pow-2 bucket ladder: a pow-2 class with
+# at least this many slices is split into sub-lengths {5/8, 3/4, 7/8, 1}
+# of its pow-2 length.  Pow-2 buckets waste up to 2x gather entries on
+# concentrated length distributions (a corpus with ~80 nnz/column pads
+# every column to 128 — 1.6x), and the bucket products are
+# padded-entry-bound (~0.4 Gnnz/s gather wall in every formulation,
+# scripts/tpu_batch32-34), so padding cuts are wall-clock cuts.  The
+# population gate keeps small workloads on the coarse ladder (more
+# buckets = more dispatches, which costs more than the padding at small
+# g); L >= 64 keeps sub-lengths multiples of 8.
+_FINE_SPLIT_MIN = 4096
+
+
+def _target_lengths(lengths, min_len):
+    """Padded bucket length per slice: pow-2, quarter-step-refined inside
+    populous classes (see _FINE_SPLIT_MIN)."""
+    classes = np.maximum(
+        np.ceil(np.log2(np.maximum(lengths, 1))).astype(np.int64),
+        int(np.log2(min_len)),
+    )
+    targets = (1 << classes).astype(np.int64)
+    uniq, counts = np.unique(classes, return_counts=True)
+    for cls, cnt in zip(uniq, counts):
+        L = 1 << int(cls)
+        if cnt < _FINE_SPLIT_MIN or L < 64:
+            continue
+        sel = classes == cls
+        # len in (L/2, L] -> smallest of {5L/8, 6L/8, 7L/8, L} >= len
+        step = L // 8
+        targets[sel] = np.minimum(
+            (-(-lengths[sel] // step)) * step, L
+        ).astype(np.int64)
+    return targets
+
+
 def _build_buckets(indptr, indices, data, minor_dim, min_len=8,
                    pad_multiple=1):
-    """Group the major-axis slices of a CS{C,R} structure by pow-2 length.
+    """Group the major-axis slices of a CS{C,R} structure by padded
+    length (pow-2 ladder, quarter-step-refined for populous classes —
+    _target_lengths).
 
     Returns (order, bucket_list) where bucket_list entries are
     (ids, idx, vals): ids (g,) major indices, idx (g, L) minor indices
@@ -42,17 +79,13 @@ def _build_buckets(indptr, indices, data, minor_dim, min_len=8,
     lengths = np.diff(indptr)
     n_major = len(lengths)
 
-    # bucket id = pow-2 class of the slice length (vectorized)
-    classes = np.maximum(
-        np.ceil(np.log2(np.maximum(lengths, 1))).astype(np.int64),
-        int(np.log2(min_len)),
-    )
+    targets = _target_lengths(lengths, min_len)
     out = []
     inv = np.empty(n_major, dtype=np.int32)
     offset = 0
-    for cls in np.unique(classes):
-        L = 1 << int(cls)
-        ids = np.where(classes == cls)[0].astype(np.int32)
+    for L in np.unique(targets):
+        L = int(L)
+        ids = np.where(targets == L)[0].astype(np.int32)
         g = len(ids)
         g_pad = -(-g // pad_multiple) * pad_multiple
         lens = lengths[ids]
@@ -78,15 +111,19 @@ def _build_buckets(indptr, indices, data, minor_dim, min_len=8,
 # product gathers rows of a dense-factor table — (n, k) H-transpose for
 # AH', (m, k) W for W'A; measured on v5e (scripts/tpu_batch18.py), the
 # segmented gather-product runs at ~176-199 GB/s when the table is
-# <= ~34 MB but collapses to ~46 GB/s once it exceeds ~100 MB (locality,
+# small but collapses to ~46 GB/s for very large tables (locality,
 # not fusion — identical nnz count).  Partitioning the minor dim into
-# 64k-wide blocks keeps every gather inside a small table slice (at
-# k=128 f32: 33 MB) and recovers the fast rate at the cost of one
-# partial-sum per block.  The doc side matters for wide term-doc
-# corpora (1M docs); the term side for tall vocabularies and for graph
-# clustering where A is a node x node adjacency (m = n = millions,
-# BASELINE config 5).
-_DOC_BLOCK = 65536
+# blocks keeps every gather inside a bounded table slice and recovers
+# the fast rate at the cost of one partial-sum per block.  Block-size
+# A/B at the flagship 50k x 1M k=128 shape (scripts/tpu_batch68.py,
+# fine bucket ladder, f32 factor tables): 65536 -> 457 ms AH',
+# 131072 (67 MB slice) -> 413 ms (fewer per-block bucket dispatches),
+# 262144 (134 MB slice) -> 575 ms (locality collapse) — so the knee is
+# 131072 for k <= 128 factor tables.  The doc side matters for wide
+# term-doc corpora (1M docs); the term side for tall vocabularies and
+# for graph clustering where A is a node x node adjacency (m = n =
+# millions, BASELINE config 5).
+_DOC_BLOCK = 131072
 
 
 @jax.tree_util.register_pytree_node_class

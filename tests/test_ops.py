@@ -206,6 +206,52 @@ def test_ell_blocked_matches_dense(doc_block, term_block):
     )
 
 
+def test_ell_fine_ladder_matches_dense(monkeypatch):
+    """Quarter-step bucket refinement (ops/ell._target_lengths): a
+    populous pow-2 class splits into {5/8,3/4,7/8,1}xL sub-buckets,
+    cutting gather padding (the 1M-doc bench corpus pads 80-nnz columns
+    to 128 = 1.6x waste under pow-2).  Forced on here via the population
+    gate; products must match dense exactly and the padded footprint
+    must shrink."""
+    import smallk_tpu.ops.ell as ell_mod
+
+    # lengths concentrated at ~80 -> pow-2 class 128, fine target 80/88
+    rng = np.random.RandomState(11)
+    m, n = 400, 256
+    cols, rows, vals = [], [], []
+    for j in range(n):
+        nzc = rng.randint(75, 82)
+        r = rng.choice(m, size=nzc, replace=False)
+        rows.append(r)
+        cols.append(np.full(nzc, j))
+        vals.append(rng.rand(nzc))
+    import scipy.sparse as sp
+
+    A = sp.csc_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))), shape=(m, n))
+    W = jnp.asarray(rng.rand(m, 3), DTYPE)
+    H = jnp.asarray(rng.rand(3, n), DTYPE)
+    dense = DenseAOp(jnp.asarray(A.toarray(), DTYPE))
+
+    coarse = EllAOp.from_scipy(A, dtype=DTYPE)  # gate 4096 > n: pow-2
+    monkeypatch.setattr(ell_mod, "_FINE_SPLIT_MIN", 64)
+    fine = EllAOp.from_scipy(A, dtype=DTYPE)
+    assert fine.padded_nnz < coarse.padded_nnz
+    # every column fits a {80, 88} sub-bucket, not the 128 pow-2 class
+    assert all(idx.shape[1] < 128 for idx, _ in fine.col_buckets)
+
+    for op in (coarse, fine):
+        np.testing.assert_allclose(
+            np.asarray(op.mm_tn(W)), np.asarray(dense.mm_tn(W)),
+            rtol=1e-10, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.mm_nt(H)), np.asarray(dense.mm_nt(H)),
+            rtol=1e-10, atol=1e-12,
+        )
+
+
 def test_ell_doc_blocked_auto_threshold():
     """auto only engages on very wide matrices (>= 2 x _DOC_BLOCK)."""
     from smallk_tpu.ops.ell import _DOC_BLOCK
